@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table registry (SURVEY.md §1.2): the single place that knows how to load
+  * each test table from a scale-factor directory.
+  *
+  * Owns the events.ts nanosecond-timestamp trap (SURVEY §1.1, FIXTURES.md):
+  * `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS,false),
+  * which Spark 4.x refuses to read by default ([PARQUET_TYPE_ILLEGAL]).
+  * With `spark.sql.legacy.parquet.nanosAsLong=true` the column reads as
+  * bigint nanoseconds; we convert ns → µs with *integer* division (a
+  * floating-point path would lose precision: 2024 epoch-nanos ≈ 1.7e18 is
+  * far above double's 2^53 exact-integer range) and emit `timestamp_ntz`,
+  * which matches DuckDB's own ns→µs truncating read bit-for-bit.
+  */
+object Tables {
+  /** All tables present in every /root/testdata/sf* directory. */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  /** Load one table. `sfDir` is a scale-factor directory such as
+    * `/root/testdata/sf0.01`.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read
+          .parquet(path(sfDir, "events"))
+          // integer ns→µs truncation; cast through timestamp to NTZ is
+          // wall-clock-preserving because the session TZ is pinned UTC.
+          .withColumn(
+            "ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case other =>
+        spark.read.parquet(path(sfDir, other))
+    }
+
+  /** Convenience loaders used by the query builders. */
+  def lineitem(s: SparkSession, sf: String): DataFrame = table(s, sf, "lineitem")
+  def orders(s: SparkSession, sf: String): DataFrame = table(s, sf, "orders")
+  def customer(s: SparkSession, sf: String): DataFrame = table(s, sf, "customer")
+  def supplier(s: SparkSession, sf: String): DataFrame = table(s, sf, "supplier")
+  def part(s: SparkSession, sf: String): DataFrame = table(s, sf, "part")
+  def nation(s: SparkSession, sf: String): DataFrame = table(s, sf, "nation")
+  def region(s: SparkSession, sf: String): DataFrame = table(s, sf, "region")
+  def events(s: SparkSession, sf: String): DataFrame = table(s, sf, "events")
+  def documents(s: SparkSession, sf: String): DataFrame = table(s, sf, "documents")
+  def embeddings(s: SparkSession, sf: String): DataFrame = table(s, sf, "embeddings")
+}

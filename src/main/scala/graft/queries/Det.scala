@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Determinism helpers (SURVEY §7.4): the DuckDB oracle hash-matches output
+  * bit-for-bit, so float aggregates must be reduction-order-independent.
+  *
+  * Strategy: round inputs into exact decimals, aggregate in decimal (exact,
+  * associative → identical regardless of partition/merge order on any
+  * cluster size), then cast the final value to double. Both engines perform
+  * the identical exact-decimal computation, so results match at 100 TB just
+  * as they do at sf0.01. This is also codegen-friendly: Spark's decimal
+  * sum stays inside whole-stage codegen.
+  */
+object Det {
+  /** Cast to an exact 2-decimal value (money-grain inputs in the test data
+    * are generated at 2-decimal grain, so this cast is lossless). */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Order-independent SUM of a money-grain double column, emitted as
+    * double. Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE). */
+  def sumMoney(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Order-independent AVG: exact decimal sum divided by count, in double.
+    * Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*).
+    * (double / bigint division of identical operands is deterministic.) */
+  def avgMoney(c: Column): Column = sumMoney(c) / count(lit(1))
+}
