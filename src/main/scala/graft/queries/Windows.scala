@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det._
+
+/** Window functions (SURVEY §2.E) + sessionization (§2.J3 batch form).
+  *
+  * Determinism rules applied throughout (SURVEY §7.4):
+  * - every window ORDER BY ends in a unique tiebreaker key wherever the
+  *   function is position-sensitive (row_number, ntile, lag, running sums);
+  * - tie-tolerant rank functions (rank/dense_rank/percent_rank/cume_dist)
+  *   may order by the value alone — their results are tie-stable;
+  * - running/moving float sums aggregate exact decimals, not doubles:
+  *   DuckDB computes window aggregates over a segment tree, Spark
+  *   accumulates sequentially, so double addition order differs between
+  *   engines (and, at scale, between runs).
+  */
+object Windows {
+
+  // ---------------------------------------------------------------- §2.E1+E5
+  /** Ranking family: rank/dense_rank/percent_rank/cume_dist over a
+    * tie-bearing order, plus row_number/ntile over a fully-deterministic
+    * order. Top-10 per market segment.
+    */
+  def windowRank(spark: SparkSession, sf: String): DataFrame = {
+    val wTie = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+    val wUnique = Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables
+      .customer(spark, sf)
+      .select(
+        col("c_mktsegment"),
+        col("c_custkey"),
+        col("c_acctbal"),
+        rank().over(wTie).as("rnk"),
+        dense_rank().over(wTie).as("drnk"),
+        percent_rank().over(wTie).as("prnk"),
+        cume_dist().over(wTie).as("cdist"),
+        row_number().over(wUnique).as("rn"),
+        ntile(4).over(wUnique).as("quartile"))
+      .where(col("rn") <= 10)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  val windowRankSql: String =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    rank() OVER w_tie AS rnk,
+      |    dense_rank() OVER w_tie AS drnk,
+      |    percent_rank() OVER w_tie AS prnk,
+      |    cume_dist() OVER w_tie AS cdist,
+      |    row_number() OVER w_uni AS rn,
+      |    ntile(4) OVER w_uni AS quartile
+      |  FROM customer
+      |  WINDOW w_tie AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC),
+      |         w_uni AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+      |) WHERE rn <= 10
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  // ---------------------------------------------------------------- §2.E2
+  /** lag-based change detection — the reference's prev-hash vs new-hash
+    * compare relationalized: per-user value delta and type-change flag.
+    */
+  def windowLagChangeDetect(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, sf)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        (dec2(col("value")) - dec2(lag(col("value"), 1).over(w))).cast("double").as("value_delta"))
+      .withColumn(
+        "type_changed",
+        when(col("prev_type").isNull, lit(null).cast("boolean"))
+          .otherwise(col("event_type") =!= col("prev_type")))
+      .orderBy(col("event_id"))
+  }
+
+  val windowLagChangeDetectSql: String =
+    """SELECT event_id, user_id, ts, event_type,
+      |  lag(event_type, 1) OVER w AS prev_type,
+      |  CAST(CAST(value AS DECIMAL(18,2)) - CAST(lag(value, 1) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS value_delta,
+      |  CASE WHEN lag(event_type, 1) OVER w IS NULL THEN NULL
+      |       ELSE event_type <> lag(event_type, 1) OVER w END AS type_changed
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.E3
+  /** Running (cumulative) sum + count per user over event time. */
+  def windowRunningSum(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(spark, sf)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        sum(dec2(col("value"))).over(w).cast("double").as("running_value"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy(col("event_id"))
+  }
+
+  val windowRunningSumSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+      |  COUNT(*) OVER w AS running_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Moving average over the last 4 events (current + 3 preceding). */
+  def windowMovingAvg(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables
+      .events(spark, sf)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        (sum(dec2(col("value"))).over(w).cast("double") / count(lit(1)).over(w))
+          .as("moving_avg_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val windowMovingAvgSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.E4
+  /** Latest-per-key dedup: keep the newest event per user via row_number
+    * (never `dropDuplicates` — the survivor there is partition-order luck).
+    */
+  def dedupLatest(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables
+      .events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val dedupLatestSql: String =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Top-3 orders by price per market segment. */
+  def windowTopkPerGroup(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables
+      .orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  val windowTopkPerGroupSql: String =
+    """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
+
+  // ---------------------------------------------------------------- §2.J3
+  /** Sessionization, batch form: 30-minute-gap sessions per user via
+    * lag + cumulative sum — two window passes over one shuffle on user_id.
+    * (The streaming twin uses session_window; see graft.streaming.)
+    */
+  def sessionize(spark: SparkSession, sf: String): DataFrame = {
+    val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(spark, sf)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrder))
+      .withColumn(
+        "new_session",
+        when(col("ts") - col("prev_ts") > expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sumMoney(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN ts - lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("window_rank", windowRank _, windowRankSql),
+    ("window_lag_change_detect", windowLagChangeDetect _, windowLagChangeDetectSql),
+    ("window_running_sum", windowRunningSum _, windowRunningSumSql),
+    ("window_moving_avg", windowMovingAvg _, windowMovingAvgSql),
+    ("dedup_latest", dedupLatest _, dedupLatestSql),
+    ("window_topk_per_group", windowTopkPerGroup _, windowTopkPerGroupSql),
+    ("sessionize", sessionize _, sessionizeSql)
+  )
+}
