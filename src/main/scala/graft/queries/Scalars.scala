@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+import graft.Tables
+import Det._
+
+/** Scalar function families (SURVEY §2.H) — the reference's HTML-cleaning
+  * surface relationalized. Every oracle is written in the engines' shared
+  * dialect subset; known drift points are owned explicitly:
+  * - DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all;
+  * - DuckDB date_diff takes (unit, start, end), Spark datediff(end, start);
+  * - double→int casts round in DuckDB but truncate in Spark (use floor);
+  * - integer-valued derivations are cast to BIGINT on both sides.
+  */
+object Scalars {
+
+  // ---------------------------------------------------------------- §2.H1
+  /** String basics over the documents corpus. */
+  def stringFuncs(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .select(
+        col("doc_id"),
+        lower(substring(col("text"), 1, 20)).as("head_lower"),
+        upper(col("lang")).as("lang_upper"),
+        length(col("text")).cast("long").as("text_len"),
+        concat_ws("-", col("lang"), col("source")).as("lang_source"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id_padded"),
+        instr(col("text"), "the").cast("long").as("first_the"),
+        trim(substring(col("text"), 1, 12)).as("head_trimmed"))
+      .orderBy(col("doc_id"))
+
+  val stringFuncsSql: String =
+    """SELECT doc_id,
+      |  lower(substring(text, 1, 20)) AS head_lower,
+      |  upper(lang) AS lang_upper,
+      |  CAST(length(text) AS BIGINT) AS text_len,
+      |  concat_ws('-', lang, source) AS lang_source,
+      |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id_padded,
+      |  CAST(strpos(text, 'the') AS BIGINT) AS first_the,
+      |  trim(substring(text, 1, 12)) AS head_trimmed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.H2
+  /** Regex cleaning (strip stopword tokens, extract, match) — patterns
+    * restricted to the Java-regex ∩ RE2 subset (no lookaround).
+    */
+  def regexClean(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .select(
+        col("doc_id"),
+        regexp_replace(col("text"), "\\b(the|a|an|of|and)\\b", "").as("no_stopwords"),
+        regexp_extract(col("text"), "([a-z]{6,})", 1).as("first_long_word"),
+        col("text").rlike("scan|merge|join").as("mentions_ops"))
+      .orderBy(col("doc_id"))
+
+  val regexCleanSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(text, '\b(the|a|an|of|and)\b', '', 'g') AS no_stopwords,
+      |  regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+      |  regexp_matches(text, 'scan|merge|join') AS mentions_ops
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.H3
+  /** Content-hash dedup — the reference's change-detection hash compare:
+    * md5 + sha256 group keys, duplicate-group stats.
+    */
+  def hashMd5Dedup(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .groupBy(md5(col("text").cast("binary")).as("content_md5"),
+               sha2(col("text").cast("binary"), 256).as("content_sha256"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("content_md5"))
+
+  val hashMd5DedupSql: String =
+    """SELECT md5(text) AS content_md5, sha256(text) AS content_sha256,
+      |  COUNT(*) AS n_docs, min(doc_id) AS first_doc
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY content_md5""".stripMargin
+
+  // ---------------------------------------------------------------- §2.H4
+  /** Date/time functions over orders. */
+  def dateFuncs(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .orders(spark, sf)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("order_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate")))
+          .cast("long")
+          .as("days_to_2002"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        last_day(col("o_orderdate")).as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  val dateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+      |  CAST(day(o_orderdate) AS BIGINT) AS order_day,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |  last_day(o_orderdate) AS month_end
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Daily event rollup: count, exact distinct users, decimal-exact value
+    * sum per day (BASELINE's distinct_users_daily generalized).
+    */
+  def dailyCounts(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumMoney(col("value")).as("total_value"))
+      .orderBy(col("day"))
+
+  val dailyCountsSql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- §2.H5
+  /** Math functions. Exact-result functions only in the oracle set:
+    * abs/ceil/floor/mod are integer-exact; sqrt is IEEE-correctly-rounded
+    * (bit-identical across engines); ln/exp/round-on-arbitrary-doubles are
+    * libm/rounding-mode dependent and live in ScalaTest instead.
+    */
+  def mathFuncs(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .customer(spark, sf)
+      .select(
+        col("c_custkey"),
+        abs(col("c_acctbal")).as("abs_bal"),
+        ceil(col("c_acctbal")).cast("long").as("ceil_bal"),
+        floor(col("c_acctbal")).cast("long").as("floor_bal"),
+        ((col("c_custkey") % 7 + 7) % 7).cast("long").as("mod7"),
+        sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+        pow(lit(2), (col("c_custkey") % 10).cast("int")).as("pow2"))
+      .orderBy(col("c_custkey"))
+
+  val mathFuncsSql: String =
+    """SELECT c_custkey,
+      |  abs(c_acctbal) AS abs_bal,
+      |  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+      |  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+      |  CAST((c_custkey % 7 + 7) % 7 AS BIGINT) AS mod7,
+      |  sqrt(abs(c_acctbal)) AS sqrt_bal,
+      |  power(2, c_custkey % 10) AS pow2
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- §2.H6
+  /** JSON path extraction + aggregation over events.props. */
+  def jsonExtractAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .events(spark, sf)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("total_value"))
+      .orderBy(col("k"))
+
+  val jsonExtractAggSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- §2.H7
+  /** Array higher-order functions over the embedding vectors. All numeric
+    * outputs are exact or sequentially-folded identically in both engines
+    * (left fold over the same element order; float→double widening exact).
+    */
+  def arrayFuncs(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .embeddings(spark, sf)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        element_at(col("embedding"), -1).cast("double").as("last_val"),
+        element_at(array_sort(col("embedding")), 1).cast("double").as("min_val"),
+        size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_positive"),
+        aggregate(
+          slice(col("embedding"), 1, 8),
+          lit(0.0),
+          (acc, x) => acc + abs(x.cast("double"))).as("head_abs_sum"))
+      .orderBy(col("vec_id"))
+
+  val arrayFuncsSql: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS n_dims,
+      |  CAST(embedding[1] AS DOUBLE) AS first_val,
+      |  CAST(embedding[-1] AS DOUBLE) AS last_val,
+      |  CAST(list_sort(embedding)[1] AS DOUBLE) AS min_val,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding[1:8], x -> abs(CAST(x AS DOUBLE)))), (acc, x) -> acc + x) AS head_abs_sum
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.H8
+  /** Map/JSON-object explosion: props parsed as map<string,string> and
+    * exploded to key/value rows.
+    */
+  def mapExplode(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .events(spark, sf)
+      .select(
+        col("event_id"),
+        explode(from_json(col("props"), MapType(StringType, StringType))))
+      .select(col("event_id"), col("key"), col("value"))
+      .orderBy(col("event_id"), col("key"))
+
+  val mapExplodeSql: String =
+    """SELECT event_id, k AS key, json_extract_string(props, '$.' || k) AS value
+      |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+      |ORDER BY event_id, key""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("string_funcs", stringFuncs _, stringFuncsSql),
+    ("regex_clean", regexClean _, regexCleanSql),
+    ("hash_md5_dedup", hashMd5Dedup _, hashMd5DedupSql),
+    ("date_funcs", dateFuncs _, dateFuncsSql),
+    ("daily_counts", dailyCounts _, dailyCountsSql),
+    ("math_funcs", mathFuncs _, mathFuncsSql),
+    ("json_extract_agg", jsonExtractAgg _, jsonExtractAggSql),
+    ("array_funcs", arrayFuncs _, arrayFuncsSql),
+    ("map_explode", mapExplode _, mapExplodeSql)
+  )
+}
