@@ -16,7 +16,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allRegistries: Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    Relational.registry ++ Windows.registry ++ Scalars.registry
+    Relational.registry ++ Windows.registry ++ Scalars.registry ++
+      TextOps.registry ++ Vectors.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

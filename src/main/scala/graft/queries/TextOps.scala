@@ -1,0 +1,467 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text / LLM-pipeline operators (SURVEY §2.I + the north-star extension):
+  * tokenization, n-grams, TF-IDF, exact + near-duplicate detection
+  * (MinHash-LSH, SimHash, n-gram Jaccard), language ID, quality scoring,
+  * token counting, and document fingerprinting.
+  *
+  * Portability trick used throughout: every "hash" is md5 hex (identical
+  * bytes→hex in Spark and DuckDB), so MinHash signatures, LSH band keys,
+  * SimHash bits and fingerprints are string-deterministic across engines —
+  * no engine-specific hash function (xxhash64 etc.) in any oracle-checked
+  * path.
+  *
+  * Scale posture: token/shingle explosion is a Generate (no shuffle);
+  * signatures reduce per (doc, seed) — one shuffle keyed by doc; LSH
+  * candidate pairs come from an equi-join on (band, band_hash) — the
+  * bucket join IS the 100 TB plan (never all-pairs). The n-gram Jaccard
+  * join is bounded to same-(lang, source) buckets for the same reason.
+  */
+object TextOps {
+
+  /** Tokens as an array column: lowercase, single-space split. */
+  private def tokensCol: Column = split(lower(col("text")), " ")
+
+  // ---------------------------------------------------------------- §2.I1
+  /** Tokenize + explode (the Generate path) → corpus word counts, top 100. */
+  def tokenizeWordcount(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .select(explode(tokensCol).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(100)
+
+  val tokenizeWordcountSql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- §2.I2
+  /** Word bigrams via an index-transform over the token array (UDTF-shaped
+    * generator, no custom Generator needed), top 100.
+    */
+  def ngramBigrams(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .select(tokensCol.as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(100)
+
+  val ngramBigramsSql: String =
+    """SELECT bigram, COUNT(*) AS n
+      |FROM (
+      |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      |  FROM (SELECT string_split(lower(text), ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2
+      |)
+      |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- §2.I3
+  /** Exact dedup: md5 content hash, deterministic survivor (lowest doc_id)
+    * via row_number — never dropDuplicates (survivor = partition luck).
+    */
+  def dedupDocsExact(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .withColumn("content_md5", md5(col("text").cast("binary")))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("content_md5"))
+      .orderBy(col("doc_id"))
+
+  val dedupDocsExactSql: String =
+    """SELECT doc_id, content_md5 FROM (
+      |  SELECT doc_id, md5(text) AS content_md5,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents
+      |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.I5
+  /** Corpus profile by (lang, source). */
+  def docsProfile(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  val docsProfileSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  SUM(n_chars) AS total_chars, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- §2.I6
+  /** TF-IDF-ish scoring: top term per document by term frequency, with
+    * document frequency and a rational idf score (tf·N/df — exact double
+    * arithmetic; ln() is libm-dependent across engines so the oracle uses
+    * the rational form; the ln variant is ScalaTest-covered).
+    */
+  def tfidfTopTerms(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(spark, sf)
+    val tf = docs
+      .select(col("doc_id"), explode(tokensCol).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+    scored
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY doc_id, token
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, token, tf, df, score FROM (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.token ASC) AS rn
+      |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+      |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- north star: LSH
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * Pipeline: word trigram shingles (distinct per doc) → 8 seeded md5
+    * minhashes per doc → 4 LSH bands of 2 rows each (band key = md5 of the
+    * seed-ordered minhash concat) → candidate pairs = equi-join on
+    * (band, band_hash). Identical md5-string math runs in the oracle, so
+    * results match exactly; the band join keeps candidate generation
+    * linear-ish in corpus size — the designed 100 TB path.
+    */
+  def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame = {
+    val shingles = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), tokensCol.as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("sh"))
+      .distinct()
+    val seeded = shingles
+      .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 7)")).as("seed"))
+      .select(
+        col("doc_id"),
+        col("seed"),
+        md5(concat(col("sh"), lit("#"), col("seed").cast("string")).cast("binary")).as("h"))
+    val minhash = seeded.groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("minh"))
+    val bands = minhash
+      .withColumn("band", expr("seed div 2"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(
+        md5(array_join(
+          expr("transform(array_sort(collect_list(struct(seed, minh))), s -> s.minh)"),
+          "").cast("binary")).as("band_hash"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashLshSql: String =
+    """WITH shingles AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3
+      |), seeded AS (
+      |  SELECT doc_id, seed, md5(sh || '#' || CAST(seed AS VARCHAR)) AS h
+      |  FROM (SELECT doc_id, sh, unnest(range(8)) AS seed FROM shingles)
+      |), minhash AS (
+      |  SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed
+      |), bands AS (
+      |  SELECT doc_id, seed // 2 AS band, md5(string_agg(minh, '' ORDER BY seed)) AS band_hash
+      |  FROM minhash GROUP BY doc_id, seed // 2
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+      |FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------- north star: SimHash
+  /** 16-bit SimHash per document: one bit per leading hex digit of each
+    * distinct token's md5 — bit p is the sign of Σ(±1) over tokens, +1 when
+    * hex digit p has its top bit set. Equal signatures ⇒ near-dup cluster.
+    */
+  private val simhashBitCols: Seq[Column] = (1 to 16).map { p =>
+    sum(
+      when(substring(col("h"), p, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"s$p")
+  }
+
+  def dedupSimhash(spark: SparkSession, sf: String): DataFrame = {
+    val tokenHashes = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), explode(tokensCol).as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+      .select(col("doc_id"), md5(col("token").cast("binary")).as("h"))
+    val bitSums = tokenHashes.groupBy(col("doc_id")).agg(simhashBitCols.head, simhashBitCols.tail: _*)
+    val simhash = concat((1 to 16).map(p => when(col(s"s$p") > 0, "1").otherwise("0")): _*)
+    bitSums
+      .select(col("doc_id"), simhash.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSimhashSql: String = {
+    val bitSums = (1 to 16)
+      .map(p =>
+        s"SUM(CASE WHEN substring(h, $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$p")
+      .mkString(",\n      ")
+    val bits = (1 to 16).map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH th AS (
+       |  SELECT DISTINCT doc_id, md5(token) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+       |  WHERE token <> ''
+       |), sums AS (
+       |  SELECT doc_id,
+       |      $bitSums
+       |  FROM th GROUP BY doc_id
+       |)
+       |SELECT doc_id, $bits AS simhash
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------- north star: n-gram Jaccard
+  /** Exact n-gram Jaccard near-dup pairs, bucketed by (lang, source) so the
+    * candidate join is shared-bigram equi-join within buckets, never
+    * all-pairs. Emits pairs with Jaccard ≥ 0.5.
+    */
+  def dedupNgramJaccard(spark: SparkSession, sf: String): DataFrame = {
+    val bigrams = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bg"))
+      .distinct()
+    val sizes = bigrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bg"))
+    val shared = bigrams
+      .select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("bg"))
+      .join(
+        bigrams.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("bg")),
+        Seq("lang", "source", "bg"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_bg").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_bg").as("n_b")), "doc_b")
+      .withColumn(
+        "jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH bg AS (
+      |  SELECT DISTINCT doc_id, lang, source,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_bg FROM bg GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |  FROM bg a JOIN bg b ON a.lang = b.lang AND a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, n_shared,
+      |  CAST(n_shared AS DOUBLE) / CAST(sa.n_bg + sb.n_bg - n_shared AS DOUBLE) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n_bg + sb.n_bg - n_shared AS DOUBLE) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------- north star: language ID
+  /** Stopword-profile language ID: hit counts against per-language stopword
+    * sets, argmax with a deterministic tie cascade.
+    */
+  def langId(spark: SparkSession, sf: String): DataFrame = {
+    val en = Seq("the", "and", "of", "to", "in", "is")
+    val de = Seq("der", "die", "das", "und", "ist", "nicht")
+    val es = Seq("el", "los", "las", "por", "como", "pero")
+    val fr = Seq("le", "les", "et", "est", "dans", "pour")
+    def hits(set: Seq[String], name: String): Column =
+      sum(when(col("token").isin(set: _*), 1).otherwise(0)).as(name)
+    val toks = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), col("lang"), explode(tokensCol).as("token"))
+    toks
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(hits(en, "en_hits"), hits(de, "de_hits"), hits(es, "es_hits"), hits(fr, "fr_hits"))
+      .withColumn(
+        "predicted_lang",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("lang"), col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"), col("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String =
+    """SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+      |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+      |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+      |       WHEN es_hits >= fr_hits THEN 'es'
+      |       ELSE 'fr' END AS predicted_lang
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    SUM(CASE WHEN token IN ('the','and','of','to','in','is') THEN 1 ELSE 0 END) AS en_hits,
+      |    SUM(CASE WHEN token IN ('der','die','das','und','ist','nicht') THEN 1 ELSE 0 END) AS de_hits,
+      |    SUM(CASE WHEN token IN ('el','los','las','por','como','pero') THEN 1 ELSE 0 END) AS es_hits,
+      |    SUM(CASE WHEN token IN ('le','les','et','est','dans','pour') THEN 1 ELSE 0 END) AS fr_hits
+      |  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      |  GROUP BY doc_id, lang
+      |) ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- north star: token counting
+  /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs /
+    * digit runs / single non-space), long-word count.
+    */
+  def tokenCount(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long").as("n_bpe_tokens"),
+        regexp_count(col("text"), lit("[a-z]{7,}")).cast("long").as("n_long_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT) AS n_long_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- north star: quality scoring
+  /** Quality scoring: char/token counts, mean token length, stopword ratio,
+    * banded quality label. All ratios are exact double divisions.
+    */
+  def textQualityScore(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace"),
+        expr("size(filter(split(lower(text), ' '), x -> x in ('the','and','of','to','in','is','a','an')))")
+          .cast("long")
+          .as("n_stop"))
+      .withColumn("mean_token_len", col("n_nonspace").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn(
+        "quality_band",
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("stop_ratio") > 0.5, "boilerplate")
+          .when(col("mean_token_len") < 3.0, "fragmentary")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"), col("mean_token_len"), col("stop_ratio"), col("quality_band"))
+      .orderBy(col("doc_id"))
+
+  val textQualityScoreSql: String =
+    """SELECT doc_id, n_chars_m, n_tokens,
+      |  CAST(n_nonspace AS DOUBLE) / n_tokens AS mean_token_len,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  CASE WHEN n_tokens < 10 THEN 'too_short'
+      |       WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.5 THEN 'boilerplate'
+      |       WHEN CAST(n_nonspace AS DOUBLE) / n_tokens < 3.0 THEN 'fragmentary'
+      |       ELSE 'ok' END AS quality_band
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars_m,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','in','is','a','an'))) AS BIGINT) AS n_stop
+      |  FROM documents
+      |) ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------- north star: doc fingerprinting
+  /** Rolling-hash document fingerprint (winnowing-lite): min md5 over all
+    * char 8-grams — robust to token reordering at the edges; any two docs
+    * sharing their minimal 8-gram hash collide. One fingerprint per doc.
+    */
+  def docFingerprint(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .where(length(col("text")) >= 8)
+      .select(
+        col("doc_id"),
+        explode(expr("sequence(1, length(text) - 7)")).as("i"),
+        col("text"))
+      .select(col("doc_id"), md5(expr("substring(text, i, 8)").cast("binary")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val docFingerprintSql: String =
+    """SELECT doc_id, min(md5(substring(text, i, 8))) AS fingerprint
+      |FROM (
+      |  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+      |  FROM documents WHERE length(text) >= 8
+      |)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("tokenize_wordcount", tokenizeWordcount _, tokenizeWordcountSql),
+    ("ngram_bigrams", ngramBigrams _, ngramBigramsSql),
+    ("dedup_docs_exact", dedupDocsExact _, dedupDocsExactSql),
+    ("docs_profile", docsProfile _, docsProfileSql),
+    ("tfidf_top_terms", tfidfTopTerms _, tfidfTopTermsSql),
+    ("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
+    ("dedup_simhash", dedupSimhash _, dedupSimhashSql),
+    ("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
+    ("lang_id", langId _, langIdSql),
+    ("token_count", tokenCount _, tokenCountSql),
+    ("text_quality_score", textQualityScore _, textQualityScoreSql),
+    ("doc_fingerprint", docFingerprint _, docFingerprintSql)
+  )
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding / similarity-search operators (SURVEY §2.I7–I9 + north star):
+  * brute-force kNN, cosine top-k, LSH-bucketed approximate kNN, and
+  * per-label centroids.
+  *
+  * Determinism: dot products fold left-to-right over the vector in double
+  * (float→double widening is exact; the oracle replays the identical
+  * sequential fold via list_reduce with a prepended 0.0, so the binary
+  * result matches bit-for-bit). Centroid sums go through exact decimals.
+  *
+  * Scale posture: brute force is O(n²) by design and exists as the
+  * correctness baseline; the LSH-bucketed variant is the 100 TB path —
+  * candidates come from an equi-join on a sign-bucket key, so the pair
+  * space shrinks from n² to Σ bucket². At cluster scale the bucket join
+  * shuffles on the bucket key and AQE handles skewed buckets.
+  */
+object Vectors {
+
+  /** Sequential double dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** The oracle twin of `dot` — identical fold order and bracketing. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  // ---------------------------------------------------------------- §2.I8
+  /** Brute-force kNN: all-pairs dot product, global top-20. */
+  def knnBruteForce(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("dot"))
+      .orderBy(col("dot").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(20)
+  }
+
+  val knnBruteForceSql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${dotSql("a.embedding", "b.embedding")} AS dot
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |ORDER BY dot DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- §2.I7
+  /** Cosine top-k: norms computed once per vector (not per pair), then the
+    * same all-pairs join. cosine = dot / (norm_a · norm_b); sqrt is IEEE
+    * correctly-rounded, division exact → deterministic.
+    */
+  def cosineTopk(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(20)
+  }
+
+  val cosineTopkSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- north star: LSH buckets
+  /** LSH-bucketed approximate kNN: bucket key = sign pattern of the first 8
+    * dimensions (axis-aligned hyperplane LSH). Pairs only form inside a
+    * bucket via equi-join — the scalable candidate generation. Top-20 by
+    * dot among candidates.
+    */
+  def knnLshBucketed(spark: SparkSession, sf: String): DataFrame = {
+    val bucket = concat(
+      (1 to 8).map(i => when(element_at(col("embedding"), i) > 0f, "1").otherwise("0")): _*)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("bucket"), col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("dot"))
+      .orderBy(col("dot").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(20)
+  }
+
+  val knnLshBucketedSql: String = {
+    val bucketExpr = (1 to 8)
+      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings
+       |)
+       |SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${dotSql("a.embedding", "b.embedding")} AS dot
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |ORDER BY dot DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- §2.D9/I9
+  /** Per-label centroids, element-wise: posexplode → exact-decimal mean per
+    * (label, position). The typed-Aggregator formulation is ScalaTest-
+    * covered; this posexplode form is the oracle-checked one because both
+    * engines can run the identical math (SURVEY §2.D9).
+    * Oracle note: the DuckDB twin hardcodes dim=64 (FIXTURES.md) since
+    * DuckDB lacks WITH ORDINALITY; the Spark side is dimension-agnostic.
+    */
+  /** 2^52 — multiplying a float-precision value by it is an exact exponent
+    * shift in double, and the product is an exact integer for any |v| in
+    * [2^-29, 2^11). Float→decimal casts are NOT portable (Spark rounds the
+    * shortest decimal repr, DuckDB rounds the binary value — they disagree
+    * near scale boundaries, measured 4/12800 at scale 10), so centroid sums
+    * run in this exact fixed-point domain instead.
+    */
+  private val Fixed = 4503599627370496.0
+
+  def aggVectorCentroid(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .embeddings(spark, sf)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(
+        (sum((col("v").cast("double") * lit(Fixed)).cast("long").cast("decimal(38,0)"))
+          .cast("double") / (count(lit(1)) * lit(Fixed))).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy(col("label"), col("pos"))
+
+  val aggVectorCentroidSql: String =
+    """SELECT label, i AS pos,
+      |  CAST(SUM(CAST(CAST(CAST(embedding[i + 1] AS DOUBLE) * 4503599627370496.0 AS BIGINT) AS DECIMAL(38,0)) ) AS DOUBLE)
+      |    / (COUNT(*) * 4503599627370496.0) AS centroid,
+      |  COUNT(*) AS n_vectors
+      |FROM embeddings, (SELECT unnest(range(64)) AS i) dims
+      |GROUP BY label, i ORDER BY label, pos""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("knn_brute_force", knnBruteForce _, knnBruteForceSql),
+    ("cosine_topk", cosineTopk _, cosineTopkSql),
+    ("knn_lsh_bucketed", knnLshBucketed _, knnLshBucketedSql),
+    ("agg_vector_centroid", aggVectorCentroid _, aggVectorCentroidSql)
+  )
+}
