@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (north star): image/audio/video payloads as
+  * opaque `binary` columns plus typed metadata, processed partition-wise in
+  * fixed-size batches — the Scala analog of an Arrow-batched decode UDF.
+  *
+  * The actual media decode is a STUB (no image/audio libraries exist in
+  * this container): [[decodeStub]] derives deterministic fake dimensions
+  * from the bytes. Everything around it — schema, binary encoding,
+  * partition-wise batch iteration, metadata struct shape — is the real
+  * Spark plumbing a production decode would use, and is what the tests
+  * cover. Swapping [[decodeStub]] for a real codec changes no plan shape.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+  case class MediaMeta(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      checksum_md5: String)
+
+  /** Batch size for partition-wise decode (Arrow-batch-shaped). */
+  val DecodeBatchSize = 64
+
+  /** STUB decode ??? — deterministic fake in lieu of a real codec:
+    * "width/height" are derived from the payload length. A real
+    * implementation would parse the container header here.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int) =
+    (1 + (bytes.length % 640), 1 + (bytes.length % 480))
+
+  /** Synthesize a media table from documents: payload = UTF-8 bytes of the
+    * text, media_type derived deterministically from n_chars parity.
+    */
+  def syntheticMedia(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .select(
+        col("doc_id"),
+        when(col("n_chars") % 2 === 0, "image").otherwise("audio").as("media_type"),
+        col("text").cast("binary").as("content"))
+
+  /** Partition-wise, batched metadata extraction over the binary column.
+    * Runs on executors; no data moves to the driver; batches bound peak
+    * memory per task exactly like an Arrow-batched UDF would.
+    */
+  def extractMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.map { r =>
+            val (w, h) = decodeStub(r.content)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(r.content).map("%02x".format(_)).mkString
+            MediaMeta(r.doc_id, r.media_type, r.content.length.toLong, w, h, hex)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Oracle-checkable registration: synthetic media → batched decode →
+    * metadata, ordered. The oracle replays the stub arithmetic over
+    * octet_length and md5 in SQL — same math, engine-neutral.
+    */
+  def multimodalMeta(spark: SparkSession, sf: String): DataFrame =
+    extractMeta(spark, syntheticMedia(spark, sf)).orderBy(col("doc_id"))
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN n_chars % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  CAST(1 + octet_length(encode(text)) % 640 AS INT) AS width,
+      |  CAST(1 + octet_length(encode(text)) % 480 AS INT) AS height,
+      |  md5(text) AS checksum_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("multimodal_meta", multimodalMeta _, multimodalMetaSql)
+  )
+}

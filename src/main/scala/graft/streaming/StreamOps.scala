@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2.J). Every transform here takes
+  * a DataFrame that may be batch OR streaming — the ScalaTest suite runs
+  * each one both ways (file source → memory sink vs plain batch) and
+  * asserts identical results, which is the correctness argument for the
+  * streaming path.
+  *
+  * Event time arrives as timestamp_ntz from graft.Tables; watermarks need
+  * TimestampType, so callers use [[withEventTime]] first (UTC session makes
+  * the cast wall-clock-preserving).
+  */
+object StreamOps {
+
+  /** One event row as the typed views need it (ts in epoch micros to stay
+    * encoder-friendly across batch/streaming).
+    */
+  case class Event(event_id: Long, user_id: Long, event_type: String, value: Double)
+
+  /** A detected change: the reference's hash-compare loop as a stream. */
+  case class Change(user_id: Long, event_id: Long, prev_type: String, new_type: String)
+
+  /** Cast the ntz event time to TimestampType for watermark use. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast("timestamp"))
+
+  // ---------------------------------------------------------------- §2.J1
+  /** Tumbling 1-hour counts — works unchanged on batch and stream. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour_start"), col("n_events"))
+
+  /** J1 with watermark (required for append-mode streaming aggregation). */
+  def tumblingHourlyWatermarked(events: DataFrame): DataFrame =
+    tumblingHourly(events.withWatermark("ts", "1 hour"))
+
+  // ---------------------------------------------------------------- §2.J3
+  /** Session windows with a 30-minute gap, per user. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  // ---------------------------------------------------------------- §2.J5
+  /** Streaming dedup by event_id bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---------------------------------------------------------------- §2.J6
+  /** Arbitrary stateful processing: emit a row whenever a user's
+    * event_type differs from their previous one — the reference's
+    * changed-page detection as a stream. State per key is just the last
+    * type (O(1)); batch-equivalent is the lag() formulation
+    * (window_lag_change_detect).
+    */
+  def changeDetect(events: Dataset[(Long, Event)]): Dataset[Change] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[String, Change](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Event)], state: GroupState[String]) =>
+          // micro-batch iterators carry no order guarantee: order by event_id
+          val ordered = rows.map(_._2).toSeq.sortBy(_.event_id)
+          var prev = state.getOption
+          val out = ordered.flatMap { e =>
+            val change = prev match {
+              case Some(p) if p != e.event_type =>
+                Some(Change(userId, e.event_id, p, e.event_type))
+              case _ => None
+            }
+            prev = Some(e.event_type)
+            change
+          }
+          state.update(prev.getOrElse(""))
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[changeDetect]] for the equivalence test. */
+  def changeDetectBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .select(
+        col("user_id"),
+        col("event_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        col("event_type").as("new_type"))
+      .where(col("prev_type").isNotNull && col("prev_type") =!= col("new_type"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+import SharedSpark._
+
+/** SURVEY §2.J: every streaming operator runs as a genuine streaming query
+  * (file or memory source → memory sink) and must agree with its batch
+  * twin on the same data — differential testing in the streaming dimension.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  /** events sf0.001 with TimestampType ts, persisted once for file-source use. */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("graft-stream-src").toString
+    StreamOps
+      .withEventTime(Tables.events(spark, Sf0001))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+    dir
+  }
+
+  private def batchEvents: DataFrame =
+    spark.read.parquet(stagedDir)
+
+  private def streamEvents: DataFrame =
+    spark.readStream.schema(batchEvents.schema).parquet(stagedDir)
+
+  /** Run a streaming transform to completion into a memory sink. */
+  private def runStream(df: DataFrame, mode: String, name: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("J1 tumbling hourly: streaming (complete mode) == batch") {
+    val got = runStream(StreamOps.tumblingHourly(streamEvents), "complete", "j1")
+    val want = StreamOps.tumblingHourly(batchEvents)
+    assert(sortedRows(got) === sortedRows(want))
+  }
+
+  test("J3 session windows: streaming (complete mode) == batch") {
+    val got = runStream(StreamOps.sessionWindows(streamEvents), "complete", "j3")
+    val want = StreamOps.sessionWindows(batchEvents)
+    assert(sortedRows(got) === sortedRows(want))
+  }
+
+  test("J5 dedup within watermark drops exact duplicate event_ids") {
+    // duplicate every event: stream must emit each event_id exactly once
+    val dupDir = Files.createTempDirectory("graft-stream-dup").toString
+    batchEvents.union(batchEvents).coalesce(1).write.mode("overwrite").parquet(dupDir)
+    val src = spark.readStream.schema(batchEvents.schema).parquet(dupDir)
+    val got = runStream(StreamOps.dedupWithinWatermark(src), "append", "j5")
+    assert(got.count() === batchEvents.count())
+    assert(got.select("event_id").distinct().count() === got.count())
+  }
+
+  test("J6 stateful change detection: streaming == batch lag() twin") {
+    val typed = streamEvents
+      .select(
+        col("user_id"),
+        struct(col("event_id"), col("user_id"), col("event_type"), col("value")).as("e"))
+      .as[(Long, StreamOps.Event)]
+    val got = runStream(StreamOps.changeDetect(typed).toDF(), "append", "j6")
+    val want = StreamOps.changeDetectBatch(batchEvents)
+    assert(sortedRows(got.select("user_id", "event_id", "prev_type", "new_type")) ===
+      sortedRows(want.select("user_id", "event_id", "prev_type", "new_type")))
+    assert(got.count() > 0)
+  }
+
+  test("J4 watermark: late rows beyond the delay are dropped") {
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val agg = input
+      .toDF()
+      .toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("h"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("j4").start()
+    try {
+      // batch 1: two events at 10:05 and 12:00 -> watermark advances to 11:50,
+      // closing (and emitting) the 10:00 window with n=1
+      input.addData((Timestamp.valueOf("2024-01-01 10:05:00"), 1L))
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 2L))
+      q.processAllAvailable()
+      // batch 2: a late event for the already-closed 10:00 window -> dropped
+      input.addData((Timestamp.valueOf("2024-01-01 10:30:00"), 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("j4").collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(out.get("2024-01-01 10:00:00.0") === Some(1L),
+      s"10:00 window should hold only the on-time event, got $out")
+  }
+}
