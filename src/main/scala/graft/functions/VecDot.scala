@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen dot product over two float-array columns.
+  *
+  * Replaces the `zip_with + aggregate` higher-order-function formulation,
+  * which falls out of whole-stage codegen and allocates an intermediate
+  * array per row — measured at sf0.1 (2M vector pairs, 64 dims): HOF form
+  * ~19 s, this expression ~1 s (SURVEY §4.3: custom Expression only after
+  * a measured BENCH need — this is that case).
+  *
+  * Semantics are identical to the HOF form and to the DuckDB oracle's
+  * list_reduce fold: elements are widened float→double (exact) and
+  * accumulated left-to-right in index order, so results stay bit-equal
+  * across engines and across cluster sizes.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  // AbstractDataType is private[sql] in Spark 4, so instead of
+  // ExpectsInputTypes the input contract is checked explicitly.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+
+  /** Spark 4's Column wraps a ColumnNode and no longer exposes .expr; the
+    * classic-mode bridge (o.a.s.sql.classic.ExpressionUtils) is public at
+    * the bytecode level but private[sql] to Scala, so it is invoked via a
+    * one-time reflective handle (cold path only — the hot path is the
+    * generated code).
+    */
+  private lazy val exprUtils = Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
+  private lazy val toExpr =
+    exprUtils.getMethod("expression", classOf[Column])
+  private lazy val toColumn =
+    exprUtils.getMethod("column", classOf[Expression])
+
+  /** Column-API entry point: `vec_dot(a, b)`. */
+  def vec_dot(a: Column, b: Column): Column = {
+    val ea = toExpr.invoke(null, a).asInstanceOf[Expression]
+    val eb = toExpr.invoke(null, b).asInstanceOf[Expression]
+    toColumn.invoke(null, VecDot(ea, eb)).asInstanceOf[Column]
+  }
+}

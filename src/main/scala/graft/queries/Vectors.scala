@@ -21,12 +21,13 @@ import graft.Tables
   */
 object Vectors {
 
-  /** Sequential double dot product of two float-array columns. */
+  /** Sequential double dot product of two float-array columns — the native
+    * codegen expression (graft.functions.VecDot). Same fold order as the
+    * oracle's list_reduce, ~19× faster than the zip_with+aggregate HOF
+    * form at sf0.1 (measured; see VecDot scaladoc).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.VecDot.vec_dot(a, b)
 
   /** The oracle twin of `dot` — identical fold order and bracketing. */
   private def dotSql(a: String, b: String): String =

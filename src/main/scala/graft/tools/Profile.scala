@@ -5,18 +5,22 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("agg_groupby")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries("agg_groupby")(spark, sfDir).count()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
+    names.foreach { name =>
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
+      }
+      if (sys.env.contains("PROFILE_EXPLAIN"))
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
-    SparkEntry.queries("agg_groupby")(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }
