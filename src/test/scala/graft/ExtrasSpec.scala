@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import SharedSpark._
+
+/** Spark-only operators that cannot be oracle-checked (SURVEY §2.D4, §2.H3
+  * xxhash64, §2.I4): property-style assertions instead.
+  */
+class ExtrasSpec extends AnyFunSuite {
+
+  test("D4: approx_count_distinct lands within 3x the requested rsd") {
+    val li = Tables.lineitem(spark, Sf001)
+    val row = li
+      .agg(
+        countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx"))
+      .head()
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.15,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("H3: xxhash64 is deterministic and collision-free on distinct doc texts") {
+    val docs = Tables.documents(spark, Sf0001)
+    val h1 = docs.select(xxhash64(col("text")).as("h")).collect().map(_.getLong(0))
+    val h2 = docs.select(xxhash64(col("text")).as("h")).collect().map(_.getLong(0))
+    assert(h1.toSeq === h2.toSeq)
+    val distinctTexts = docs.select("text").distinct().count()
+    val distinctHashes = docs.select(xxhash64(col("text"))).distinct().count()
+    assert(distinctHashes === distinctTexts)
+  }
+
+  test("I4: spark.ml MinHashLSH finds every exact-duplicate pair at distance 0") {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+    // sf0.1 is the only scale factor whose documents table contains exact
+    // duplicates (8 of them, measured)
+    val Sf01 = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, Sf01).select(col("doc_id"), lower(col("text")).as("text"))
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("tokens")
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("features").setNumFeatures(1024)
+    val feats = tf.transform(tok.transform(docs)).select("doc_id", "features")
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig").setNumHashTables(8)
+    val model = lsh.fit(feats)
+    val pairs = model
+      .approxSimilarityJoin(feats, feats, 0.1, "dist")
+      .select(
+        col("datasetA.doc_id").as("a"),
+        col("datasetB.doc_id").as("b"),
+        col("dist"))
+      .where(col("a") < col("b"))
+    // ground truth: docs sharing an md5 must be found at jaccard distance 0
+    val dupPairs = Tables
+      .documents(spark, Sf01)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .as("x")
+      .join(
+        Tables.documents(spark, Sf01)
+          .select(col("doc_id").as("doc_id2"), md5(col("text").cast("binary")).as("h")).as("y"),
+        "h")
+      .where(col("doc_id") < col("doc_id2"))
+      .select(col("doc_id").as("a"), col("doc_id2").as("b"))
+    val missed = dupPairs.join(pairs.where(col("dist") === 0.0), Seq("a", "b"), "left_anti").count()
+    assert(missed === 0, s"$missed exact-duplicate pairs missed by MinHashLSH")
+    assert(dupPairs.count() > 0, "fixture should contain exact duplicates")
+  }
+}
