@@ -151,10 +151,77 @@ object Vectors {
       |FROM embeddings, (SELECT unnest(range(64)) AS i) dims
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
+  // ----------------------------------------------------- north star: IVF
+  /** IVF-style approximate nearest neighbors: coarse cells = per-label
+    * centroids (computed from the data, exact fixed-point — identical in
+    * the oracle); each query vector probes its single nearest cell and
+    * searches only that cell's members. The inverted-file search IS the
+    * scale path: the big side never cross-joins, it equi-joins on the cell
+    * id. Query set = vec_id < 10; top-3 per query.
+    */
+  def annIvf(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val cells = aggVectorCentroid(spark, sf)
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)")
+        .as("cvec"))
+    val q = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    // query→centroid dot: double left fold, same order as the oracle
+    val qcDot = expr(
+      "aggregate(zip_with(qemb, cvec, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)")
+    val assigned = q
+      .crossJoin(broadcast(cells))
+      .withColumn("qc_dot", qcDot)
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("qc_dot").desc, col("label").asc)))
+      .where(col("rn") === 1)
+      .select(col("qid"), col("qemb"), col("label"))
+    assigned
+      .join(emb, Seq("label"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("dot", dot(col("qemb"), col("embedding")))
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id").asc)))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id").as("neighbor"), col("dot"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annIvfSql: String =
+    s"""WITH cent0 AS (
+       |  ${aggVectorCentroidSql.replace("ORDER BY label, pos", "")}
+       |), cells AS (
+       |  SELECT label, list(centroid ORDER BY pos) AS cvec FROM cent0 GROUP BY label
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 10
+       |), assigned AS (
+       |  SELECT qid, qemb, label FROM (
+       |    SELECT q.qid, q.qemb, cells.label,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(q.qemb) + 1),
+       |          i -> CAST(q.qemb[i] AS DOUBLE) * cells.cvec[i])), (acc, x) -> acc + x) DESC,
+       |        cells.label ASC) AS rn
+       |    FROM q CROSS JOIN cells)
+       |  WHERE rn = 1
+       |), cand AS (
+       |  SELECT a.qid, e.vec_id AS neighbor,
+       |    ${dotSql("a.qemb", "e.embedding")} AS dot
+       |  FROM assigned a JOIN embeddings e ON e.label = a.label AND e.vec_id <> a.qid
+       |)
+       |SELECT qid, rank, neighbor, dot FROM (
+       |  SELECT qid, neighbor, dot,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, neighbor ASC) AS rank
+       |  FROM cand)
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("knn_brute_force", knnBruteForce _, knnBruteForceSql),
     ("cosine_topk", cosineTopk _, cosineTopkSql),
     ("knn_lsh_bucketed", knnLshBucketed _, knnLshBucketedSql),
-    ("agg_vector_centroid", aggVectorCentroid _, aggVectorCentroidSql)
+    ("agg_vector_centroid", aggVectorCentroid _, aggVectorCentroidSql),
+    ("ann_ivf", annIvf _, annIvfSql)
   )
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Skew
+import SharedSpark._
+
+class SkewSpec extends AnyFunSuite {
+
+  test("salted two-phase aggregation is bit-identical to the direct plan") {
+    // events grouped by event_type: 5 hot keys over 1000 rows — the skew shape
+    val ev = Tables.events(spark, Sf0001)
+    val direct = ev
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    Seq(4, 16, 64).foreach { buckets =>
+      val salted = Skew
+        .saltedCountSum(ev, "event_type", "value", buckets)
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(salted === direct, s"buckets=$buckets")
+    }
+  }
+
+  test("salt actually spreads a hot key over the requested buckets") {
+    val ev = Tables.events(spark, Sf0001)
+    val spread = ev
+      .withColumn("__salt", Skew.rowSalt(ev, 16))
+      .where(col("event_type") === "view")
+      .select(countDistinct(col("__salt")))
+      .head()
+      .getLong(0)
+    assert(spread >= 12, s"only $spread of 16 salt buckets used")
+  }
+}
