@@ -570,9 +570,102 @@ object Relational {
       |SELECT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R'
       |ORDER BY okey""".stripMargin
 
-  /** All (name, builder, oracle) triples this module contributes. */
+  // ------------------------------------------------- BASELINE.md headline shapes
+  /** TPC-H Q3 shape (BASELINE.md q3_join_topk): 3-way join, grouped
+    * revenue, top-10. Fact sides shuffle on the join keys; the final top-k
+    * is TakeOrderedAndProject.
+    */
+  def q3JoinTopk(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .customer(spark, sf)
+      .where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double")
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val q3JoinTopkSql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape (BASELINE.md q5_multijoin): 6-table star join —
+    * lineitem/orders/customer shuffle on their keys, supplier joins on
+    * (suppkey + matching nation), nation/region broadcast.
+    */
+  def q5Multijoin(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .where(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(
+        Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, sf)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sf)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double")
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+
+  val q5MultijoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  /** BASELINE.md distinct_users_daily: exact distinct users per day. */
+  def distinctUsersDaily(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"))
+
+  val distinctUsersDailySql: String =
+    """SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** All (name, builder, oracle) triples this module contributes.
+    * q1_pricing_summary is BASELINE.md's name for the flagship
+    * (= agg_groupby); both keys are registered so BENCH lines up with
+    * BASELINE row-for-row.
+    */
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("agg_groupby", aggGroupBy _, aggGroupBySql),
+    ("q1_pricing_summary", aggGroupBy _, aggGroupBySql),
+    ("q3_join_topk", q3JoinTopk _, q3JoinTopkSql),
+    ("q5_multijoin", q5Multijoin _, q5MultijoinSql),
+    ("distinct_users_daily", distinctUsersDaily _, distinctUsersDailySql),
     ("scan_project", scanProject _, scanProjectSql),
     ("filter_predicates", filterPredicates _, filterPredicatesSql),
     ("case_when_classify", caseWhenClassify _, caseWhenClassifySql),
