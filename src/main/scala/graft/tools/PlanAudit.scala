@@ -1,0 +1,42 @@
+// scratch audit main — not part of the library surface
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Prints a scale-readiness audit line per registered query: number of
+  * shuffle exchanges, join strategies chosen, whether any parquet scan
+  * reads a full schema, and whole-stage-codegen coverage. Used to review
+  * every plan after correctness lands (the brief's "explain and iterate"
+  * loop), not at runtime.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString()
+        def n(pat: String) = pat.r.findAllIn(plan).size
+        val joins = Seq(
+          "BroadcastHashJoin" -> n("BroadcastHashJoin"),
+          "SortMergeJoin" -> n("SortMergeJoin"),
+          "ShuffledHashJoin" -> n("ShuffledHashJoin"),
+          "BroadcastNestedLoopJoin" -> n("BroadcastNestedLoopJoin"),
+          "CartesianProduct" -> n("CartesianProduct"))
+          .filter(_._2 > 0).map { case (k, v) => s"$k×$v" }.mkString(",")
+        val exchanges = n("Exchange") - n("BroadcastExchange")
+        val codegen = n("WholeStageCodegen")
+        val fullScans = "ReadSchema: struct<([^>]*)>".r
+          .findAllMatchIn(plan).map(_.group(1).count(_ == ',') + 1).toSeq
+        println(f"$name%-28s shuffles=$exchanges%-3d codegenSpans=$codegen%-3d scanCols=${fullScans.mkString("/")}%-12s joins=[$joins]")
+      } catch { case e: Throwable => println(s"$name AUDIT FAILED: ${e.getMessage.take(100)}") }
+    }
+    spark.stop()
+  }
+}
