@@ -80,6 +80,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("J6 state persists across micro-batches") {
+    val input = MemoryStream[(Long, StreamOps.Event)](spark)
+    val q = StreamOps
+      .changeDetect(input.toDS())
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("j6multi")
+      .start()
+    try {
+      // batch 1: user 7 ends on "view"
+      input.addData(
+        (7L, StreamOps.Event(1, 7, "view", 1.0)),
+        (7L, StreamOps.Event(2, 7, "view", 2.0)))
+      q.processAllAvailable()
+      // batch 2: "click" must be detected as a change against batch-1 state
+      input.addData((7L, StreamOps.Event(3, 7, "click", 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("j6multi").collect().map(r =>
+      (r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    assert(out === Seq((3L, "view", "click")),
+      s"expected exactly the cross-batch change, got ${out.mkString(",")}")
+  }
+
   test("J4 watermark: late rows beyond the delay are dropped") {
     val input = MemoryStream[(Timestamp, Long)](spark)
     val agg = input
