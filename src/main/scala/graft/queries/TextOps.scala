@@ -458,7 +458,59 @@ object TextOps {
       |)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ EP3′ composed pipeline
+  /** The reference's specialized-capture/text path as ONE declarative plan
+    * (SURVEY §3.2 EP3′): clean (strip stopword tokens) → tokenize →
+    * quality-gate (≥10 tokens after cleaning) → exact-dedup on cleaned
+    * content (deterministic survivor) → per-(lang, source) profile.
+    * Composability is the point: the whole lifecycle is a single Catalyst
+    * plan — filters reach the scan, the only shuffles are the dedup
+    * window and the final profile aggregation.
+    */
+  def pipelineCleanDedupProfile(spark: SparkSession, sf: String): DataFrame = {
+    val cleaned = Tables
+      .documents(spark, sf)
+      .withColumn(
+        "clean_text",
+        regexp_replace(lower(col("text")), "\\b(the|a|an|of|and|to|in|is)\\b", ""))
+      .withColumn("n_tokens", size(filter(split(col("clean_text"), " "), t => t =!= "")))
+      .where(col("n_tokens") >= 10)
+    val deduped = cleaned
+      .withColumn("h", md5(col("clean_text").cast("binary")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    deduped
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val pipelineCleanDedupProfileSql: String =
+    """WITH cleaned AS (
+      |  SELECT doc_id, lang, source,
+      |    regexp_replace(lower(text), '\b(the|a|an|of|and|to|in|is)\b', '', 'g') AS clean_text
+      |  FROM documents
+      |), gated AS (
+      |  SELECT doc_id, lang, source, clean_text,
+      |    len(list_filter(string_split(clean_text, ' '), t -> t <> '')) AS n_tokens
+      |  FROM cleaned
+      |  WHERE len(list_filter(string_split(clean_text, ' '), t -> t <> '')) >= 10
+      |), deduped AS (
+      |  SELECT doc_id, lang, source, n_tokens FROM (
+      |    SELECT doc_id, lang, source, n_tokens,
+      |      row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn
+      |    FROM gated
+      |  ) WHERE rn = 1
+      |)
+      |SELECT lang, source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+      |  min(doc_id) AS first_doc
+      |FROM deduped GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("pipeline_clean_dedup_profile", pipelineCleanDedupProfile _, pipelineCleanDedupProfileSql),
     ("tokenize_wordcount", tokenizeWordcount _, tokenizeWordcountSql),
     ("ngram_bigrams", ngramBigrams _, ngramBigramsSql),
     ("dedup_docs_exact", dedupDocsExact _, dedupDocsExactSql),

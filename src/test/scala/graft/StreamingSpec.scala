@@ -106,6 +106,29 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly the cross-batch change, got ${out.mkString(",")}")
   }
 
+  test("J6 transformWithState (RocksDB state store) == batch lag() twin") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = streamEvents
+        .select(
+          col("user_id"),
+          struct(col("event_id"), col("user_id"), col("event_type"), col("value")).as("e"))
+        .as[(Long, StreamOps.Event)]
+      val got = runStream(StreamOps.changeDetectTws(typed).toDF(), "append", "j6tws")
+      val want = StreamOps.changeDetectBatch(batchEvents)
+      assert(sortedRows(got.select("user_id", "event_id", "prev_type", "new_type")) ===
+        sortedRows(want.select("user_id", "event_id", "prev_type", "new_type")))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("J4 watermark: late rows beyond the delay are dropped") {
     val input = MemoryStream[(Timestamp, Long)](spark)
     val agg = input
