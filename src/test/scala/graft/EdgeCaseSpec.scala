@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import SharedSpark._
+
+/** SURVEY §5.2.3: the nasty edges — null join keys, empty groups, rank
+  * ties, empty inputs — pinned so semantics never drift silently.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("null join keys never match (SQL three-valued equality)") {
+    val a = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y")).toDF("k", "va")
+    val b = Seq[(java.lang.Long, String)]((1L, "p"), (null, "q")).toDF("k", "vb")
+    assert(a.join(b, a("k") === b("k")).count() === 1)
+    assert(a.join(b, a("k") === b("k"), "left").count() === 2) // null row kept, unmatched
+    // null-safe equality is opt-in and DOES match
+    assert(a.join(b, a("k") <=> b("k")).count() === 2)
+  }
+
+  test("aggregates over empty input: global agg yields one row, grouped yields none") {
+    val empty = Tables.orders(spark, Sf0001).where(lit(false))
+    val g = empty.agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s")).head()
+    assert(g.getLong(0) === 0L)
+    assert(g.isNullAt(1)) // SUM of nothing is NULL, not 0
+    assert(empty.groupBy("o_orderstatus").count().count() === 0)
+  }
+
+  test("rank vs dense_rank vs row_number on ties") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 10), ("b", 10), ("c", 5)).toDF("id", "v")
+    val w = Window.orderBy(col("v").desc)
+    val rows = df
+      .select(col("id"), rank().over(w).as("r"), dense_rank().over(w).as("d"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSeq === Seq(("a", 1, 1), ("b", 1, 1), ("c", 3, 2)))
+  }
+
+  test("lag over a single-row partition is null; sessionize of one event is one session") {
+    val one = Tables.events(spark, Sf0001).orderBy("event_id").limit(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-one").toString
+    one.write.mode("overwrite").parquet(dir)
+    // windowLagChangeDetect over that single event: prev_* must be null
+    val row = graft.queries.Windows.windowLagChangeDetect(spark, Sf0001)
+      .orderBy("event_id").limit(1).head()
+    assert(row.isNullAt(row.fieldIndex("prev_type")))
+    assert(row.isNullAt(row.fieldIndex("value_delta")))
+  }
+
+  test("K1: a scalar UDF reproduces the built-in it would replace (and why we don't use one)") {
+    // the reference's whitespace normalization as a UDF vs the built-in
+    // regexp_replace: identical results, but the UDF is a Catalyst black
+    // box (no codegen, no pushdown through it) — which is why every
+    // engine path uses built-ins (SURVEY §7.3) and this lives only here.
+    val normalize = udf((s: String) => if (s == null) null else s.replaceAll("\\s+", " ").trim)
+    val diff = Tables
+      .documents(spark, Sf0001)
+      .select(
+        normalize(col("text")).as("via_udf"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("via_builtin"))
+      .where(col("via_udf") =!= col("via_builtin"))
+      .count()
+    assert(diff === 0)
+  }
+}
