@@ -172,6 +172,8 @@ object TextOps {
     * linear-ish in corpus size — the designed 100 TB path.
     */
   def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame = {
+    // No distinct() on shingles: min() is idempotent over duplicates, so
+    // deduplication would only add a shuffle without changing any minhash.
     val shingles = Tables
       .documents(spark, sf)
       .select(col("doc_id"), tokensCol.as("t"))
@@ -179,7 +181,6 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
         .as("sh"))
-      .distinct()
     // All 8 seeded minhashes as columns of ONE aggregation — a single
     // shuffle keyed by doc_id, no 8× row explosion, no collect_list.
     // (Restructured from an explode-seeds formulation: 22.5 s → ~2 s at
@@ -210,7 +211,7 @@ object TextOps {
       .map(b => s"{'band': $b, 'h': md5(m${2 * b} || m${2 * b + 1})}")
       .mkString(", ")
     s"""WITH shingles AS (
-       |  SELECT DISTINCT doc_id,
+       |  SELECT doc_id,
        |    unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
        |  WHERE len(t) >= 3
