@@ -227,7 +227,91 @@ object Scalars {
       |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
       |ORDER BY event_id, key""".stripMargin
 
+  // ------------------------------------------- statistical aggregates (H5+)
+  /** Variance / stddev / correlation from exact decimal moment sums.
+    * Built-in stddev/corr merge running moments in partition order →
+    * results differ across engines AND across cluster layouts; computing
+    * the closed-form from exact Σx, Σx², Σxy makes them bit-deterministic
+    * anywhere. value is 2-decimal grain → dec(18,2) is lossless; squares/
+    * products in decimal are exact.
+    */
+  def statsFuncs(spark: SparkSession, sf: String): DataFrame = {
+    val v = dec2(col("value"))
+    val k = col("k_dec")
+    Tables
+      .events(spark, sf)
+      .withColumn("k_dec", get_json_object(col("props"), "$.k").cast("decimal(18,2)"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v).cast("double").as("sum_v"),
+        sum(v * v).cast("double").as("sum_v2"),
+        sum(k).cast("double").as("sum_k"),
+        sum(k * k).cast("double").as("sum_k2"),
+        sum(v * k).cast("double").as("sum_vk"))
+      .select(
+        col("event_type"),
+        col("n"),
+        (col("sum_v") / col("n")).as("mean_v"),
+        ((col("sum_v2") - col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1))
+          .as("var_v"),
+        sqrt((col("sum_v2") - col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1))
+          .as("stddev_v"),
+        ((col("sum_vk") - col("sum_v") * col("sum_k") / col("n")) /
+          (sqrt(col("sum_v2") - col("sum_v") * col("sum_v") / col("n")) *
+            sqrt(col("sum_k2") - col("sum_k") * col("sum_k") / col("n")))).as("corr_vk"))
+      .orderBy(col("event_type"))
+  }
+
+  val statsFuncsSql: String =
+    """SELECT event_type, n,
+      |  sum_v / n AS mean_v,
+      |  (sum_v2 - sum_v * sum_v / n) / (n - 1) AS var_v,
+      |  sqrt((sum_v2 - sum_v * sum_v / n) / (n - 1)) AS stddev_v,
+      |  (sum_vk - sum_v * sum_k / n) /
+      |    (sqrt(sum_v2 - sum_v * sum_v / n) * sqrt(sum_k2 - sum_k * sum_k / n)) AS corr_vk
+      |FROM (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(v) AS DOUBLE) AS sum_v,
+      |    CAST(SUM(v * v) AS DOUBLE) AS sum_v2,
+      |    CAST(SUM(k) AS DOUBLE) AS sum_k,
+      |    CAST(SUM(k * k) AS DOUBLE) AS sum_k2,
+      |    CAST(SUM(v * k) AS DOUBLE) AS sum_vk
+      |  FROM (
+      |    SELECT event_type,
+      |      CAST(value AS DECIMAL(18,2)) AS v,
+      |      CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2)) AS k
+      |    FROM events)
+      |  GROUP BY event_type
+      |) ORDER BY event_type""".stripMargin
+
+  /** Exact percentiles (interpolating): validated bit-identical between
+    * Spark `percentile()` and DuckDB `percentile_cont` on this data
+    * (including interpolation artifacts like 112.01000000000003) before
+    * registration — both sort exactly and interpolate linearly.
+    */
+  def percentileSummary(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy(col("event_type"))
+
+  val percentileSummarySql: String =
+    """SELECT event_type,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+      |  percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+      |  min(value) AS min_v,
+      |  max(value) AS max_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stats_funcs", statsFuncs _, statsFuncsSql),
+    ("percentile_summary", percentileSummary _, percentileSummarySql),
     ("string_funcs", stringFuncs _, stringFuncsSql),
     ("regex_clean", regexClean _, regexCleanSql),
     ("hash_md5_dedup", hashMd5Dedup _, hashMd5DedupSql),
