@@ -55,6 +55,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(row.getLong(0) === row.getAs[Array[Byte]](1).length.toLong)
   }
 
+  test("A5+: ORC / CSV / JSON sinks round-trip the source table") {
+    val dir = tempDir("graft-sinks")
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("ca", "main", "https://example.org/ca", java.lang.Boolean.TRUE),
+        Row("ny", "data", "https://example.org/ny/d", java.lang.Boolean.FALSE)),
+      Sources.sourceTableSchema)
+    df.write.mode("overwrite").orc(s"$dir/orc")
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    df.write.mode("overwrite").json(s"$dir/json")
+    val backOrc = spark.read.orc(s"$dir/orc")
+    val backCsv = Sources.readCsv(spark, s"$dir/csv", Sources.sourceTableSchema)
+    val backJson = Sources.readJson(spark, s"$dir/json", Sources.sourceTableSchema)
+    Seq(backOrc, backCsv, backJson).foreach { back =>
+      assert(back.count() === 2)
+      assert(back.orderBy("state").collect().map(_.getString(0)).toSeq === Seq("ca", "ny"))
+    }
+  }
+
   test("A6: partitioned sink lays out partition dirs and prunes on read") {
     val dir = tempDir("graft-part")
     Sources.writePartitioned(Tables.events(spark, Sf0001), s"$dir/events", "event_type")
