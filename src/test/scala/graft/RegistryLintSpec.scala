@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import SharedSpark._
+
+/** Guards on the query register itself — the discipline rules of SURVEY
+  * §7.4 enforced mechanically so future additions can't silently break
+  * the hash-match contract.
+  */
+class RegistryLintSpec extends AnyFunSuite {
+
+  /** Single-row global aggregates don't need a total order. */
+  private val orderByExempt = Set("agg_global")
+
+  test("every oracle query ends in a total ORDER BY (or is single-row)") {
+    val missing = SparkEntry.oracleSql.collect {
+      case (name, sql)
+          if !orderByExempt(name) && !sql.toUpperCase.contains("ORDER BY") =>
+        name
+    }
+    assert(missing.isEmpty, s"oracle queries without ORDER BY: $missing")
+  }
+
+  test("no oracle query uses nondeterministic or approximate functions") {
+    val banned = Seq("rand(", "random(", "approx_", "monotonically_increasing_id",
+      "current_timestamp", "current_date", "now(")
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql) if banned.exists(sql.toLowerCase.contains) => name
+    }
+    assert(offenders.isEmpty, s"oracle queries with banned functions: $offenders")
+  }
+
+  test("VecDot codegen expression is bit-identical to the HOF fold it replaced") {
+    // regression guard for the custom Expression: the generated-code loop
+    // must keep the exact left-fold semantics the oracle assumes
+    val e = Tables.embeddings(spark, Sf0001).limit(200)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("va") < col("vb"))
+    val hof = aggregate(
+      zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+    val diff = pairs
+      .select(graft.functions.VecDot.vec_dot(col("ea"), col("eb")).as("native"), hof.as("hof"))
+      .where(col("native") =!= col("hof"))
+      .count()
+    assert(diff === 0)
+  }
+}
