@@ -309,9 +309,78 @@ object Scalars {
       |  max(value) AS max_v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- §2.H7+
+  /** Array set operations over token arrays (string elements — exact
+    * equality is safe; float arrays deliberately avoided here). Engines
+    * order set-op results differently, so every result is sorted and
+    * joined to a string before comparison.
+    */
+  def arraySetops(spark: SparkSession, sf: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    Tables
+      .documents(spark, sf)
+      .select(
+        col("doc_id"),
+        slice(toks, 1, 10).as("head10"),
+        slice(toks, 6, 10).as("mid10"))
+      .select(
+        col("doc_id"),
+        array_join(array_sort(array_distinct(concat(col("head10"), col("mid10")))), ",").as("union_toks"),
+        array_join(array_sort(array_distinct(filter(col("head10"), t => array_contains(col("mid10"), t)))), ",").as("intersect_toks"),
+        array_join(array_sort(array_distinct(filter(col("head10"), t => !array_contains(col("mid10"), t)))), ",").as("except_toks"),
+        size(array_distinct(col("head10"))).cast("long").as("n_distinct_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  val arraySetopsSql: String =
+    """SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(list_cat(head10, mid10))), ',') AS union_toks,
+      |  array_to_string(list_sort(list_distinct(list_filter(head10, t -> list_contains(mid10, t)))), ',') AS intersect_toks,
+      |  array_to_string(list_sort(list_distinct(list_filter(head10, t -> NOT list_contains(mid10, t)))), ',') AS except_toks,
+      |  CAST(len(list_distinct(head10)) AS BIGINT) AS n_distinct_head
+      |FROM (
+      |  SELECT doc_id, t[1:10] AS head10, t[6:15] AS mid10
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      |) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.H1+
+  /** Second string family: split_part, replace, translate, reverse,
+    * repeat, left/right, greatest/least.
+    */
+  def stringFuncs2(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .documents(spark, sf)
+      .select(
+        col("doc_id"),
+        expr("split_part(text, ' ', 2)").as("second_word"),
+        expr("replace(substring(text, 1, 30), 'the', 'THE')").as("replaced_head"),
+        expr("translate(lang, 'aeiou', 'AEIOU')").as("lang_translated"),
+        reverse(col("lang")).as("lang_reversed"),
+        expr("repeat(lang, 2)").as("lang_doubled"),
+        expr("left(text, 8)").as("head8"),
+        expr("right(text, 8)").as("tail8"),
+        greatest(col("n_chars"), col("doc_id")).as("greatest_v"),
+        least(col("n_chars"), col("doc_id")).as("least_v"))
+      .orderBy(col("doc_id"))
+
+  val stringFuncs2Sql: String =
+    """SELECT doc_id,
+      |  split_part(text, ' ', 2) AS second_word,
+      |  replace(substring(text, 1, 30), 'the', 'THE') AS replaced_head,
+      |  translate(lang, 'aeiou', 'AEIOU') AS lang_translated,
+      |  reverse(lang) AS lang_reversed,
+      |  repeat(lang, 2) AS lang_doubled,
+      |  left(text, 8) AS head8,
+      |  right(text, 8) AS tail8,
+      |  greatest(n_chars, doc_id) AS greatest_v,
+      |  least(n_chars, doc_id) AS least_v
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("stats_funcs", statsFuncs _, statsFuncsSql),
     ("percentile_summary", percentileSummary _, percentileSummarySql),
+    ("array_setops", arraySetops _, arraySetopsSql),
+    ("string_funcs2", stringFuncs2 _, stringFuncs2Sql),
     ("string_funcs", stringFuncs _, stringFuncsSql),
     ("regex_clean", regexClean _, regexCleanSql),
     ("hash_md5_dedup", hashMd5Dedup _, hashMd5DedupSql),
