@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness. Prints ONE short JSON line (driver contract) and also
+  * writes the same JSON to bench_out.json in the working directory.
+  *
+  * Methodology (round-2, per VERDICT r1):
+  *  - Warmup runs execute at the BENCH scale factor itself, not sf0.001 —
+  *    AQE re-plans per scale, so a small-sf warmup leaves the bench-scale
+  *    code paths uncompiled (r1 artifact: map_explode 29 s cold → 0.7 s warm).
+  *  - Each query is timed over ITERS runs; the MIN is reported (JVM-scale
+  *    timings are noisy; min is the least-noise estimator of plan cost).
+  *  - Values rounded to ms so the output line stays ~2 KB (r1's full-precision
+  *    doubles overflowed the driver's line capture → "parsed": null).
+  */
 object Bench {
+  private def round3(x: Double): Double = math.rint(x * 1000) / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,24 +33,31 @@ object Bench {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup at the smallest scale factor: compiles the generated
-    // code (Janino) and JITs the hot paths so the timed pass measures the
-    // engine, not first-run compilation. Falls back to the bench dir when
-    // the small fixture is absent.
-    val warmDir0 = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
-    val warmDir = if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
+    // Untimed warmup at sfDir: compiles the generated code (Janino) and JITs
+    // the hot paths the timed passes will take, including AQE's re-planned
+    // stages at this scale.
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> round3(times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = round3(results.values.sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
+    try {
+      val w = new java.io.PrintWriter("bench_out.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

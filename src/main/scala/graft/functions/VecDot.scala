@@ -35,13 +35,32 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
 
+  /** NULL in, NULL out — beyond the nullSafe input handling, the result is
+    * also NULL on length mismatch and on any NULL element, matching both the
+    * zip_with+aggregate HOF form (null product poisons the fold) and the
+    * DuckDB list_reduce oracle. So the expression may be null even when both
+    * inputs are non-null.
+    */
+  override def nullable: Boolean = true
+
+  /** Whether either child's array type admits null elements; when false the
+    * generated loop carries no per-element null checks (the hot path for
+    * schema-declared non-null embeddings).
+    */
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -53,13 +72,22 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** A pseudo-random-but-deterministic salt in [0, buckets): xxhash64 of
-    * the whole row, so identical rows land together but a hot key's rows
-    * spread. No rand() — results stay reproducible run-over-run.
+  /** A salt in [0, buckets) from a per-row monotonic id, so rows spread
+    * round-robin — including EXACT-DUPLICATE rows of a hot key, the common
+    * skew shape that a content-hash salt would collapse back onto one
+    * bucket. The salt itself is layout-dependent (not stable run-over-run),
+    * which is safe here precisely because phase 2 combines exact decimals:
+    * the final (key, n, total) is bit-identical for ANY salt assignment —
+    * the property SkewSpec pins. No rand().
     */
   def rowSalt(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets.toLong))
+    pmod(monotonically_increasing_id(), lit(buckets.toLong))
 
   /** count + exact-decimal sum of `valueCol` per `key`, computed via the
     * salted two-phase plan.

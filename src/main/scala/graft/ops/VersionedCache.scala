@@ -23,12 +23,21 @@ object VersionedCache {
       .partitionBy("run_id")
       .parquet(path)
 
-  /** Latest row per key over the whole history (deterministic survivor:
-    * highest run_id, ties broken by the key ordering inside row_number).
+  /** Latest row per key over the whole history.
+    *
+    * Run-id contract: `run_id` is a string partition column compared
+    * LEXICOGRAPHICALLY, so callers must use lexicographically sortable ids —
+    * zero-padded counters ("00009" < "00010") or ISO-8601 timestamps. A bare
+    * numeric counter would sort "9" above "10".
+    *
+    * Survivor determinism: ties (several rows for one key within the same
+    * run) are broken by a content hash of the full row, not partition luck —
+    * the same data yields the same survivor on any cluster layout.
     */
   def latest(spark: SparkSession, path: String, key: String): DataFrame = {
     val all = spark.read.parquet(path)
-    val w = Window.partitionBy(col(key)).orderBy(col("run_id").desc)
+    val tiebreak = xxhash64(struct(all.columns.map(col): _*))
+    val w = Window.partitionBy(col(key)).orderBy(col("run_id").desc, tiebreak.asc)
     all
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

@@ -332,10 +332,15 @@ object Relational {
     val ev = Tables
       .events(spark, sf)
       .where(col("event_type").isin("view", "purchase"))
+    // RANGE frame (not ROWS): the frame must include ALL rows with ts equal
+    // to the current row's ts — a view sharing the purchase's timestamp
+    // counts as "at-or-before" (`v.ts <= p.ts` in the oracle), regardless of
+    // event_id order. The value is still deterministic: every view peer in
+    // an equal-ts group contributes the same view_ts (= that ts).
     val w = Window
       .partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+      .orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("view_ts", when(col("event_type") === "view", col("ts")))
       .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
       .where(col("event_type") === "purchase")
@@ -477,9 +482,9 @@ object Relational {
 
   val aggPivotManualSql: String =
     """SELECT c_mktsegment,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 

@@ -108,7 +108,7 @@ object TextOps {
 
   val docsProfileSql: String =
     """SELECT lang, source, COUNT(*) AS n_docs,
-      |  SUM(n_chars) AS total_chars, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars, min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------- §2.I6
@@ -124,12 +124,16 @@ object TextOps {
       .where(col("token") =!= "")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    // document frequency as a window count over the tf frame — (doc, token)
-    // rows are unique, so COUNT(*) per token == #docs containing it. This
-    // avoids a second aggregation + join back (plan audit: 6 shuffles → 4).
+    // Document frequency via groupBy + join-back, NOT a window over the tf
+    // frame: a window has no partial aggregation, so at scale every
+    // (doc, token) row for a hot token ("the") lands on ONE reducer. The
+    // groupBy gets map-side partial aggregation (bounded per-key state on
+    // every node), and the join-back's skew is an AQE-splittable stream
+    // side — the 100 TB-safe shape.
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .join(dfreq, Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn(
         "score",
@@ -361,10 +365,10 @@ object TextOps {
       |       ELSE 'fr' END AS predicted_lang
       |FROM (
       |  SELECT doc_id, lang,
-      |    SUM(CASE WHEN token IN ('the','and','of','to','in','is') THEN 1 ELSE 0 END) AS en_hits,
-      |    SUM(CASE WHEN token IN ('der','die','das','und','ist','nicht') THEN 1 ELSE 0 END) AS de_hits,
-      |    SUM(CASE WHEN token IN ('el','los','las','por','como','pero') THEN 1 ELSE 0 END) AS es_hits,
-      |    SUM(CASE WHEN token IN ('le','les','et','est','dans','pour') THEN 1 ELSE 0 END) AS fr_hits
+      |    CAST(SUM(CASE WHEN token IN ('the','and','of','to','in','is') THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+      |    CAST(SUM(CASE WHEN token IN ('der','die','das','und','ist','nicht') THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+      |    CAST(SUM(CASE WHEN token IN ('el','los','las','por','como','pero') THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+      |    CAST(SUM(CASE WHEN token IN ('le','les','et','est','dans','pour') THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
       |  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token FROM documents)
       |  GROUP BY doc_id, lang
       |) ORDER BY doc_id""".stripMargin
@@ -437,6 +441,12 @@ object TextOps {
   /** Rolling-hash document fingerprint (winnowing-lite): min md5 over all
     * char 8-grams — robust to token reordering at the edges; any two docs
     * sharing their minimal 8-gram hash collide. One fingerprint per doc.
+    *
+    * Computed as a per-row `aggregate` fold over the position sequence —
+    * NOT explode + groupBy. The explode form emits length(text)−7 rows per
+    * document through a shuffle (~8× data blow-up at 100 TB); the fold is
+    * O(1) memory per row, zero extra rows, zero shuffles (`least` skips
+    * the NULL seed, so the fold needs no special first element).
     */
   def docFingerprint(spark: SparkSession, sf: String): DataFrame =
     Tables
@@ -444,11 +454,10 @@ object TextOps {
       .where(length(col("text")) >= 8)
       .select(
         col("doc_id"),
-        explode(expr("sequence(1, length(text) - 7)")).as("i"),
-        col("text"))
-      .select(col("doc_id"), md5(expr("substring(text, i, 8)").cast("binary")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(min(col("h")).as("fingerprint"))
+        expr(
+          "aggregate(sequence(1, length(text) - 7), CAST(NULL AS STRING), " +
+            "(acc, i) -> least(acc, md5(CAST(substring(text, i, 8) AS BINARY))))")
+          .as("fingerprint"))
       .orderBy(col("doc_id"))
 
   val docFingerprintSql: String =
@@ -506,7 +515,7 @@ object TextOps {
       |    FROM gated
       |  ) WHERE rn = 1
       |)
-      |SELECT lang, source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+      |SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       |  min(doc_id) AS first_doc
       |FROM deduped GROUP BY lang, source ORDER BY lang, source""".stripMargin
 

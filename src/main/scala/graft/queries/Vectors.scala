@@ -35,10 +35,20 @@ object Vectors {
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
 
   // ---------------------------------------------------------------- §2.I8
-  /** Brute-force kNN: all-pairs dot product, global top-20. */
+  /** Brute-force kNN: all-pairs dot product, global top-20.
+    *
+    * The stream side is explicitly repartitioned across all cores: the
+    * vectors arrive as ONE small parquet file (one scan partition), but the
+    * work is O(n²) in the row count — without the repartition the entire
+    * pair loop runs on a single task (measured: 1.6 s single-task vs ~0.5 s
+    * across 32 at sf0.1). The round-robin exchange of n rows is noise next
+    * to the n² loop it parallelizes. TakeOrderedAndProject keeps top-k per
+    * partition before the driver merge — no global sort of the pair stream.
+    */
   def knnBruteForce(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(spark, sf)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("dot"))
@@ -62,6 +72,7 @@ object Vectors {
       .embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+      .repartition(spark.sparkContext.defaultParallelism) // parallelize the n² loop (see knnBruteForce)
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(

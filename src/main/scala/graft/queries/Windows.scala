@@ -36,12 +36,14 @@ object Windows {
         col("c_mktsegment"),
         col("c_custkey"),
         col("c_acctbal"),
-        rank().over(wTie).as("rnk"),
-        dense_rank().over(wTie).as("drnk"),
+        // ranks cast to long: DuckDB's window functions emit BIGINT, and
+        // exact dtype parity keeps the driver's typed hash trivially safe
+        rank().over(wTie).cast("long").as("rnk"),
+        dense_rank().over(wTie).cast("long").as("drnk"),
         percent_rank().over(wTie).as("prnk"),
         cume_dist().over(wTie).as("cdist"),
-        row_number().over(wUnique).as("rn"),
-        ntile(4).over(wUnique).as("quartile"))
+        row_number().over(wUnique).cast("long").as("rn"),
+        ntile(4).over(wUnique).cast("long").as("quartile"))
       .where(col("rn") <= 10)
       .orderBy(col("c_mktsegment"), col("rn"))
   }
@@ -174,7 +176,7 @@ object Windows {
     Tables
       .orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 3)
       .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("c_mktsegment"), col("rn"))

@@ -45,6 +45,15 @@ def main():
         if got.shape != want.shape:
             print(f"FAIL {name}: shape spark={got.shape} oracle={want.shape}")
             failures += 1; continue
+        # dtype parity mirrors the driver's TYPED hash: value-equal columns
+        # with different types (e.g. DuckDB HUGEINT->float64 vs Spark int64
+        # from an uncast SUM) still hash-mismatch driver-side.
+        dt = [c for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+        if dt:
+            failures += 1
+            print(f"FAIL {name}: dtype mismatch " +
+                  ", ".join(f"{c}: spark={got[c].dtype} oracle={want[c].dtype}" for c in dt))
+            continue
         mism = []
         for c in got.columns:
             a, b = got[c], want[c]
