@@ -17,7 +17,12 @@ import graft.Tables
   */
 object Multimodal {
 
-  case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+  case class MediaRow(
+      doc_id: Long,
+      media_type: String,
+      content: Array[Byte],
+      byte_len: Long,
+      checksum_md5: String)
   case class MediaMeta(
       doc_id: Long,
       media_type: String,
@@ -50,18 +55,25 @@ object Multimodal {
   /** Partition-wise, batched metadata extraction over the binary column.
     * Runs on executors; no data moves to the driver; batches bound peak
     * memory per task exactly like an Arrow-batched UDF would.
+    *
+    * Division of labor: everything a built-in can compute stays in Catalyst
+    * (md5 / octet_length are codegen'd expressions in the projection below —
+    * never re-implemented inside the lambda); the mapPartitions step exists
+    * ONLY for the codec call a built-in cannot express. Plan shape is
+    * scan → project(built-ins) → DeserializeToObject → MapPartitions: one
+    * pipeline, no shuffle.
     */
   def extractMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media
+      .withColumn("byte_len", octet_length(col("content")).cast("long"))
+      .withColumn("checksum_md5", md5(col("content")))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.grouped(DecodeBatchSize).flatMap { batch =>
           batch.map { r =>
             val (w, h) = decodeStub(r.content)
-            val md = java.security.MessageDigest.getInstance("MD5")
-            val hex = md.digest(r.content).map("%02x".format(_)).mkString
-            MediaMeta(r.doc_id, r.media_type, r.content.length.toLong, w, h, hex)
+            MediaMeta(r.doc_id, r.media_type, r.byte_len, w, h, r.checksum_md5)
           }
         }
       }

@@ -94,6 +94,57 @@ object Vectors {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin
 
+  // --------------------------------------- north star: embedding-cosine dedup
+  /** Embedding-cosine near-duplicate detection — the vector member of the
+    * dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard / THIS):
+    * any pair with cosine ≥ 0.4 is a near-dup; each duplicate is assigned to
+    * its lowest-id match as canonical (keep-lowest-id survivor convention,
+    * same as the exact dedup), deterministically via row_number.
+    *
+    * This exact form is the correctness baseline (all-pairs, repartitioned
+    * across cores like knnBruteForce); at 100 TB the identical
+    * threshold+canonical logic runs over `knnLshBucketed`-style bucketed
+    * candidates instead of the all-pairs join — same downstream operators,
+    * swapped candidate generator.
+    */
+  def dedupEmbeddingCosine(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))).as("cosine"))
+      .where(col("cosine") >= 0.4)
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("vec_b")).orderBy(col("vec_a").asc)))
+      .where(col("rn") === 1)
+      .select(col("vec_b").as("dup_id"), col("vec_a").as("canonical_id"), col("cosine"))
+      .orderBy(col("dup_id"))
+  }
+
+  val dedupEmbeddingCosineSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |)
+       |SELECT vec_b AS dup_id, vec_a AS canonical_id, cosine FROM (
+       |  SELECT vec_a, vec_b, cosine,
+       |    row_number() OVER (PARTITION BY vec_b ORDER BY vec_a ASC) AS rn
+       |  FROM pairs WHERE cosine >= 0.4)
+       |WHERE rn = 1 ORDER BY dup_id""".stripMargin
+
   // ------------------------------------------------- north star: LSH buckets
   /** Multi-table LSH approximate kNN: 4 hash tables, each bucketing on the
     * sign pattern of 4 dimensions (axis-aligned hyperplane LSH over dims
@@ -259,6 +310,7 @@ object Vectors {
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("knn_brute_force", knnBruteForce _, knnBruteForceSql),
     ("cosine_topk", cosineTopk _, cosineTopkSql),
+    ("dedup_embedding_cosine", dedupEmbeddingCosine _, dedupEmbeddingCosineSql),
     ("knn_lsh_bucketed", knnLshBucketed _, knnLshBucketedSql),
     ("agg_vector_centroid", aggVectorCentroid _, aggVectorCentroidSql),
     ("ann_ivf", annIvf _, annIvfSql)

@@ -17,6 +17,11 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE off for the audit only: the adaptive wrapper hides codegen
+      // spans (and runtime join rewrites) until execution, and this tool
+      // inspects the STATIC plan. Runtime plans can only improve on it
+      // (AQE coalesces partitions / upgrades joins / splits skew).
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -29,9 +34,11 @@ object PlanAudit {
           "ShuffledHashJoin" -> n("ShuffledHashJoin"),
           "BroadcastNestedLoopJoin" -> n("BroadcastNestedLoopJoin"),
           "CartesianProduct" -> n("CartesianProduct"))
-          .filter(_._2 > 0).map { case (k, v) => s"$k×$v" }.mkString(",")
+          .filter(_._2 > 0).map { case (k, v) => s"${k}x$v" }.mkString(",")
         val exchanges = n("Exchange") - n("BroadcastExchange")
-        val codegen = n("WholeStageCodegen")
+        // codegen fusion shows as "*(id)" operator prefixes in tree strings;
+        // distinct ids = number of fused spans
+        val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
         val fullScans = "ReadSchema: struct<([^>]*)>".r
           .findAllMatchIn(plan).map(_.group(1).count(_ == ',') + 1).toSeq
         println(f"$name%-28s shuffles=$exchanges%-3d codegenSpans=$codegen%-3d scanCols=${fullScans.mkString("/")}%-12s joins=[$joins]")
