@@ -488,6 +488,37 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- §2.D5+
+  /** Explicit GROUPING SETS (beyond rollup/cube): exactly the three grains
+    * (flag, status) / (flag) / (), via the Spark 4 groupingSets API —
+    * planned as a single Expand + aggregate, one shuffle for all grains.
+    */
+  def aggGroupingSets(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .lineitem(spark, sf)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"),
+        col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("n_rows"),
+        col("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val aggGroupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // ---------------------------------------------------------------- §2.F2
   /** Top-k: planned as TakeOrderedAndProject (no global sort of the full
     * table — each partition keeps k rows, driver merges k·p).
@@ -688,6 +719,7 @@ object Relational {
     ("agg_count_distinct", aggCountDistinct _, aggCountDistinctSql),
     ("agg_rollup", aggRollup _, aggRollupSql),
     ("agg_cube", aggCube _, aggCubeSql),
+    ("agg_grouping_sets", aggGroupingSets _, aggGroupingSetsSql),
     ("agg_collect_sorted", aggCollectSorted _, aggCollectSortedSql),
     ("agg_pivot_manual", aggPivotManual _, aggPivotManualSql),
     ("topk_orders", topkOrders _, topkOrdersSql),

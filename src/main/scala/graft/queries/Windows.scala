@@ -230,8 +230,44 @@ object Windows {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- §2.E3+
+  /** Frame-based value functions: first / last / nth value of each user's
+    * event stream over the full-partition frame (ROWS UNBOUNDED PRECEDING →
+    * UNBOUNDED FOLLOWING — the default last_value frame stops at CURRENT
+    * ROW, a classic silent-wrong-answer; both engines pin the full frame
+    * explicitly). Deterministic because the ordering (ts, event_id) is
+    * unique per partition.
+    */
+  def windowFirstLastNth(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables
+      .events(spark, sf)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("value"),
+        first(col("value")).over(w).as("first_value"),
+        last(col("value")).over(w).as("last_value"),
+        nth_value(col("value"), 2).over(w).as("second_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val windowFirstLastNthSql: String =
+    """SELECT event_id, user_id, value,
+      |  first_value(value) OVER w AS first_value,
+      |  last_value(value) OVER w AS last_value,
+      |  nth_value(value, 2) OVER w AS second_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("window_rank", windowRank _, windowRankSql),
+    ("window_first_last_nth", windowFirstLastNth _, windowFirstLastNthSql),
     ("window_lag_change_detect", windowLagChangeDetect _, windowLagChangeDetectSql),
     ("window_running_sum", windowRunningSum _, windowRunningSumSql),
     ("window_moving_avg", windowMovingAvg _, windowMovingAvgSql),
