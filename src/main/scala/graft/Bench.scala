@@ -31,6 +31,9 @@ object Bench {
       // first shuffle materializes).
       .config("spark.sql.autoBroadcastJoinThreshold", sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64MB"))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // local-harness opt-in: test tables are single-row-group files, so
+      // heavy-compute queries repartition them across cores (queries.Det)
+      .config(graft.queries.Det.SpreadConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at sfDir: compiles the generated code (Janino) and JITs

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Determinism helpers (SURVEY §7.4): the DuckDB oracle hash-matches output
@@ -26,4 +26,25 @@ object Det {
     * Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*).
     * (double / bigint division of identical operands is deterministic.) */
   def avgMoney(c: Column): Column = sumMoney(c) / count(lit(1))
+
+  /** Conf key: when "true", [[spreadSmallScan]] repartitions its input
+    * across the session's cores. Set ONLY by local harness mains
+    * (Bench/Profile), where each test table is one small parquet file
+    * (= one row group = one unsplittable scan task) yet the work above the
+    * scan is heavy (per-row hashing, explode fan-out). A real cluster
+    * never sets it: there the scan arrives in thousands of row-group
+    * splits and injecting a corpus-wide shuffle would be a scale bug.
+    */
+  val SpreadConf = "spark.graft.spreadSmallScans"
+
+  /** Identity unless the session opted in via [[SpreadConf]] — see there.
+    * (An earlier adaptive variant probed `df.rdd.getNumPartitions`; the
+    * probe itself re-planned the query per call and cost more than the
+    * parallelism bought — measured +0.6–1.5 s per query. Conf-gating is
+    * free.)
+    */
+  def spreadSmallScan(spark: SparkSession, df: DataFrame): DataFrame =
+    if (spark.conf.getOption(SpreadConf).exists(_.toBoolean))
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
 }

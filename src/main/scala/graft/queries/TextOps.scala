@@ -178,8 +178,10 @@ object TextOps {
   def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame = {
     // No distinct() on shingles: min() is idempotent over duplicates, so
     // deduplication would only add a shuffle without changing any minhash.
-    val shingles = Tables
-      .documents(spark, sf)
+    // spreadSmallScan (harness-gated): the 8-seeded-md5 partial agg above
+    // the scan is the hot part — 8 hashes per shingle row.
+    val shingles = Det
+      .spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(col("doc_id"), tokensCol.as("t"))
       .where(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -285,6 +287,9 @@ object TextOps {
     // per-doc set size rides along as a window count, so the pair join
     // carries both sizes and no join-back is needed (plan audit: 8
     // shuffles → 4, documents scanned 2× instead of 4×).
+    // no spreadSmallScan here: `bigrams` is consumed twice (both join
+    // sides), and a repartition below a reused subtree re-executes its
+    // shuffle per consumer — measured net loss.
     val bigrams = Tables
       .documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("t"))
