@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VecDot
+
+/** Session extension (SURVEY §2.K4 surface): registers the library's native
+  * functions into the SQL function registry, so the raw-SQL surface
+  * (api.SqlSurface / spark.sql) reaches the same codegen expressions as the
+  * Column API.
+  *
+  * Wire-up options, both standard Spark:
+  *   - config: `spark.sql.extensions=graft.GraftExtensions`
+  *   - code:   `SparkSession.builder().withExtensions(new GraftExtensions)`
+  *   - an existing session: `GraftExtensions.register(spark)`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
+}
+
+object GraftExtensions {
+
+  private def buildVecDot(children: Seq[Expression]): Expression = children match {
+    case Seq(a, b) => VecDot(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"vec_dot expects exactly 2 arguments, got ${other.size}")
+  }
+
+  /** (name, info, builder) triple in the shape injectFunction expects. */
+  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(
+      classOf[VecDot].getCanonicalName,
+      null,
+      "vec_dot",
+      "vec_dot(a, b) - sequential double dot product of two float arrays",
+      ""),
+    buildVecDot)
+
+  /** Register into an already-built session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      vecDotDescriptor._1, vecDotDescriptor._2, vecDotDescriptor._3)
+}

@@ -50,6 +50,22 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(row.isNullAt(row.fieldIndex("value_delta")))
   }
 
+  test("K4: GraftExtensions registers vec_dot into the SQL surface, matching the Column API") {
+    GraftExtensions.register(spark)
+    graft.api.SqlSurface.registerViews(spark, Sf0001)
+    val viaSql = spark
+      .sql("SELECT vec_id, vec_dot(embedding, embedding) AS d FROM embeddings ORDER BY vec_id")
+      .collect()
+    val viaCol = Tables
+      .embeddings(spark, Sf0001)
+      .select(col("vec_id"), graft.functions.VecDot.vec_dot(col("embedding"), col("embedding")).as("d"))
+      .orderBy(col("vec_id"))
+      .collect()
+    assert(viaSql.toSeq === viaCol.toSeq)
+    // arity error surfaces at analysis, not execution
+    intercept[Exception](spark.sql("SELECT vec_dot(embedding) FROM embeddings").collect())
+  }
+
   test("K1: a scalar UDF reproduces the built-in it would replace (and why we don't use one)") {
     // the reference's whitespace normalization as a UDF vs the built-in
     // regexp_replace: identical results, but the UDF is a Catalyst black
