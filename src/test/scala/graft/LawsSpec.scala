@@ -52,6 +52,49 @@ class LawsSpec extends AnyFunSuite {
     assert(asof.where(col("last_view_ts") > col("ts")).count() === 0)
   }
 
+  test("doc_chunking invariants: full coverage, stride/size bounds, reassembly") {
+    import graft.queries.Corpus
+    val docs = Tables.documents(spark, Sf0001)
+    val chunks = Corpus.docChunking(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = chunks.groupBy(_._1)
+    val tokenCounts = docs
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet === tokenCounts.keySet) // every doc chunked
+    byDoc.foreach { case (doc, cs) =>
+      val n = tokenCounts(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq) // dense ids
+      assert(sorted.forall(_._3 <= 32)) // size bound
+      assert(sorted.init.forall(_._3 == 32)) // only the tail may be short
+      // stride 24 with chunk 32 ⇒ chunks cover positions 1..n exactly
+      val covered = (sorted.length - 1) * 24 + sorted.last._3
+      assert(covered === n, s"doc=$doc n=$n covered=$covered")
+    }
+  }
+
+  test("split_train_test invariants: pure function of doc_id, test fraction near 41/256") {
+    import graft.queries.Corpus
+    val s1 = Corpus.splitTrainTest(spark, Sf0001).collect().map(r => r.getLong(0) -> r.getString(3))
+    val s2 = Corpus.splitTrainTest(spark, Sf0001).collect().map(r => r.getLong(0) -> r.getString(3))
+    assert(s1.toSeq === s2.toSeq) // deterministic
+    val frac = s1.count(_._2 == "test").toDouble / s1.length
+    assert(math.abs(frac - 41.0 / 256) < 0.06, s"test fraction $frac") // 3σ-ish on 500 docs
+  }
+
+  test("repetition_score bounds: ratio in (0, 1], max <= total") {
+    import graft.queries.Corpus
+    val rows = Corpus.repetitionScore(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (top, total, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(top >= 1 && top <= total)
+      assert(ratio > 0.0 && ratio <= 1.0)
+      assert(math.abs(ratio - top.toDouble / total) < 1e-15)
+    }
+  }
+
   /** MinHash estimate vs exact Jaccard — the scheme used by
     * dedup_minhash_lsh, checked against its statistical error bound.
     */
