@@ -96,7 +96,61 @@ object Multimodal {
       |  md5(text) AS checksum_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Resize planning (image path): target box 256×256, aspect preserved.
+    * All-integer arithmetic ((dim·256) div max(w,h)) so both engines agree
+    * exactly — a real resize kernel would consume (out_w, out_h) per batch
+    * in [[extractMeta]]'s mapPartitions slot; the PLANNING of sizes is pure
+    * relational projection and stays in codegen.
+    */
+  def multimodalResize(spark: SparkSession, sf: String): DataFrame =
+    extractMeta(spark, syntheticMedia(spark, sf))
+      .where(col("media_type") === "image")
+      .select(
+        col("doc_id"),
+        col("width"),
+        col("height"),
+        expr("CAST(width AS BIGINT) * 256 div greatest(width, height)").as("out_w"),
+        expr("CAST(height AS BIGINT) * 256 div greatest(width, height)").as("out_h"))
+      .orderBy(col("doc_id"))
+
+  val multimodalResizeSql: String =
+    """SELECT doc_id, width, height,
+      |  CAST(width AS BIGINT) * 256 // greatest(width, height) AS out_w,
+      |  CAST(height AS BIGINT) * 256 // greatest(width, height) AS out_h
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(1 + octet_length(encode(text)) % 640 AS INT) AS width,
+      |    CAST(1 + octet_length(encode(text)) % 480 AS INT) AS height
+      |  FROM documents WHERE n_chars % 2 = 0
+      |) ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling (video path): duration derived deterministically from
+    * the payload (stub for container-header parsing), 4 fps, every 8th
+    * frame. The sample positions are a per-row Generate — zero shuffles,
+    * exactly the shape a real frame extractor feeds batch-wise.
+    */
+  def multimodalFrameSample(spark: SparkSession, sf: String): DataFrame =
+    syntheticMedia(spark, sf)
+      .where(col("media_type") === "audio") // stands in for the time-indexed modality
+      .withColumn("duration_s", (octet_length(col("content")) % 60 + 1).cast("long"))
+      .select(
+        col("doc_id"),
+        col("duration_s"),
+        explode(expr("sequence(0, duration_s * 4 - 1, 8)")).as("frame_no"))
+      .withColumn("t_offset_s", col("frame_no").cast("double") / 4.0)
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  val multimodalFrameSampleSql: String =
+    """SELECT doc_id, duration_s, unnest(range(0, duration_s * 4, 8)) AS frame_no,
+      |  CAST(unnest(range(0, duration_s * 4, 8)) AS DOUBLE) / 4.0 AS t_offset_s
+      |FROM (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) % 60 + 1 AS BIGINT) AS duration_s
+      |  FROM documents WHERE n_chars % 2 = 1
+      |) ORDER BY doc_id, frame_no""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
-    ("multimodal_meta", multimodalMeta _, multimodalMetaSql)
+    ("multimodal_meta", multimodalMeta _, multimodalMetaSql),
+    ("multimodal_resize", multimodalResize _, multimodalResizeSql),
+    ("multimodal_frame_sample", multimodalFrameSample _, multimodalFrameSampleSql)
   )
 }
