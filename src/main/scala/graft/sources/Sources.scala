@@ -47,4 +47,15 @@ object Sources {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** A5′ — JSON-lines report sink: the reference persisted each run's
+    * change-list report as JSON [R:change_list.py ~med]. Distributed write
+    * (one file per partition); coalesce(1) only for small report frames.
+    */
+  def writeJsonReport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+  /** A5′ — CSV report sink with header (the Sheets-export round-trip). */
+  def writeCsvReport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 }

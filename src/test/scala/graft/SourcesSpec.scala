@@ -64,8 +64,8 @@ class SourcesSpec extends AnyFunSuite {
         Row("ny", "data", "https://example.org/ny/d", java.lang.Boolean.FALSE)),
       Sources.sourceTableSchema)
     df.write.mode("overwrite").orc(s"$dir/orc")
-    df.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
-    df.write.mode("overwrite").json(s"$dir/json")
+    Sources.writeCsvReport(df, s"$dir/csv")
+    Sources.writeJsonReport(df, s"$dir/json")
     val backOrc = spark.read.orc(s"$dir/orc")
     val backCsv = Sources.readCsv(spark, s"$dir/csv", Sources.sourceTableSchema)
     val backJson = Sources.readJson(spark, s"$dir/json", Sources.sourceTableSchema)
