@@ -137,14 +137,16 @@ object Corpus {
     * overlap first.
     */
   def contaminationCheck(spark: SparkSession, sf: String): DataFrame = {
+    // per-row array_distinct: shingle dedup is within-doc, so dedup before
+    // the Generate — the corpus side reaches the broadcast join with ZERO
+    // exchanges (scan → project → explode → join)
     val shingles = Tables
       .documents(spark, sf)
       .select(col("doc_id"), tokensCol.as("t"))
       .where(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        "array_distinct(transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
         .as("sh"))
-      .distinct()
     val bench = shingles.where(col("doc_id") < 20).select(col("doc_id").as("bench_doc"), col("sh"))
     val train = shingles.where(col("doc_id") >= 20).select(col("doc_id").as("train_doc"), col("sh"))
     train

@@ -333,9 +333,13 @@ object TextOps {
     // per-doc set size rides along as a window count, so the pair join
     // carries both sizes and no join-back is needed (plan audit: 8
     // shuffles → 4, documents scanned 2× instead of 4×).
-    // no spreadSmallScan here: `bigrams` is consumed twice (both join
-    // sides), and a repartition below a reused subtree re-executes its
-    // shuffle per consumer — measured net loss.
+    // Formulation note (measured, sf0.1 warm): a per-row
+    // array_distinct(transform(...)) variant — zero shuffles before the
+    // join — ran 2–3× SLOWER than this explode+distinct form (4.4 s vs
+    // 1.9 s): nested-lambda HOFs are interpreted per element, while
+    // Generate + hash-distinct + window are codegen'd, and ReuseExchange
+    // computes the distinct subtree once for both join sides. Same lesson
+    // as dedupMinhashPerRow (TextOps scaladoc there).
     val bigrams = Tables
       .documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("t"))
