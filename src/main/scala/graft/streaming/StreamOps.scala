@@ -56,6 +56,22 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ------------------------------------------------- composed EP pipeline
+  /** The reference lifecycle (clean → dedup → report) as ONE streaming
+    * query: drop failed fetches, dedupe replays by event_id inside the
+    * watermark, aggregate hourly counts. Each stage is incremental; state
+    * is bounded by the watermark (dedup) and the window (agg) — the shape
+    * that runs forever on an unbounded source. Works unchanged on batch
+    * DataFrames (dropDuplicatesWithinWatermark requires a stream; batch
+    * twin uses dropDuplicates — StreamingSpec pins equality).
+    */
+  def cleanDedupProfile(events: DataFrame): DataFrame =
+    tumblingHourly(
+      events
+        .where(col("event_type") =!= "error")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id"))
+
   // ---------------------------------------------------------------- §2.J6
   /** Arbitrary stateful processing: emit a row whenever a user's
     * event_type differs from their previous one — the reference's

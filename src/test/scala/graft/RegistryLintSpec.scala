@@ -48,4 +48,24 @@ class RegistryLintSpec extends AnyFunSuite {
       .count()
     assert(diff === 0)
   }
+
+  test("VecDot null semantics: length mismatch and null elements yield NULL, like the HOF") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(3f), Some(4f))),
+      (2L, Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(3f))), // length mismatch
+      (3L, Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(3f), Some(4f))) // null element
+    ).toDF("id", "a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+    val rows = df
+      .select(col("id"), graft.functions.VecDot.vec_dot(col("a"), col("b")).as("native"), hof.as("hof"))
+      .orderBy("id")
+      .collect()
+    assert(rows(0).getDouble(1) === 11.0 && rows(0).getDouble(2) === 11.0)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
 }

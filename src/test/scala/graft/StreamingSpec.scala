@@ -67,6 +67,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() === got.count())
   }
 
+  test("EP composed clean->dedup->profile: streaming (complete mode) == batch twin") {
+    // duplicated source: the dedup stage must make the duplicates invisible
+    // to the profile aggregation
+    val dupDir = Files.createTempDirectory("graft-stream-ep").toString
+    batchEvents.union(batchEvents).coalesce(1).write.mode("overwrite").parquet(dupDir)
+    val src = spark.readStream.schema(batchEvents.schema).parquet(dupDir)
+    val got = runStream(StreamOps.cleanDedupProfile(src), "complete", "ep")
+    val want = StreamOps.tumblingHourly(
+      batchEvents.where(col("event_type") =!= "error").dropDuplicates("event_id"))
+    assert(sortedRows(got) === sortedRows(want))
+  }
+
   test("J6 stateful change detection: streaming == batch lag() twin") {
     val typed = streamEvents
       .select(
