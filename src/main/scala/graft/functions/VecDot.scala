@@ -47,7 +47,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     * generated loop carries no per-element null checks (the hot path for
     * schema-declared non-null embeddings).
     */
-  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+  private lazy val elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
     case ArrayType(_, containsNull) => containsNull
     case _ => false
   })

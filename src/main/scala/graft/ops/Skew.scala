@@ -15,22 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** A salt in [0, buckets) from a per-row monotonic id, so rows spread
-    * round-robin — including EXACT-DUPLICATE rows of a hot key, the common
-    * skew shape that a content-hash salt would collapse back onto one
-    * bucket. The salt itself is layout-dependent (not stable run-over-run),
-    * which is safe here precisely because phase 2 combines exact decimals:
-    * the final (key, n, total) is bit-identical for ANY salt assignment —
-    * the property SkewSpec pins. No rand().
+  /** A salt in [0, buckets) from a per-row monotonic id — POSITION-based,
+    * not content-based — so rows spread round-robin, including
+    * EXACT-DUPLICATE rows of a hot key, the common skew shape that a
+    * content-hash salt would collapse back onto one bucket. The salt is
+    * layout-dependent (not stable run-over-run), which is safe here
+    * precisely because phase 2 combines exact decimals: the final
+    * (key, n, total) is bit-identical for ANY salt assignment — the
+    * property SkewSpec pins. No rand().
     */
-  def rowSalt(df: DataFrame, buckets: Int): Column =
+  def rowSalt(buckets: Int): Column =
     pmod(monotonically_increasing_id(), lit(buckets.toLong))
 
   /** count + exact-decimal sum of `valueCol` per `key`, computed via the
     * salted two-phase plan.
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String, buckets: Int): DataFrame =
-    df.withColumn("__salt", rowSalt(df, buckets))
+    df.withColumn("__salt", rowSalt(buckets))
       .groupBy(col(key), col("__salt"))
       .agg(
         count(lit(1)).as("__n"),

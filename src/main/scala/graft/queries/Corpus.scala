@@ -22,7 +22,8 @@ import graft.Tables
   */
 object Corpus {
 
-  private def tokensCol = split(lower(col("text")), " ")
+  /** The family-wide tokenizer — shared with TextOps (see its scaladoc). */
+  private def tokensCol = TextOps.tokensCol
 
   // ----------------------------------------------------- chunking
   /** Fixed-size token chunking with overlap (context-window preparation):

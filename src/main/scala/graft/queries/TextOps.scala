@@ -24,8 +24,12 @@ import graft.Tables
   */
 object TextOps {
 
-  /** Tokens as an array column: lowercase, single-space split. */
-  private def tokensCol: Column = split(lower(col("text")), " ")
+  /** Tokens as an array column: lowercase, single-space split. Shared with
+    * graft.queries.Corpus so every text-family operator (dedup, scoring,
+    * chunking, contamination) tokenizes identically — a change here changes
+    * all of them together, never one silently.
+    */
+  private[queries] def tokensCol: Column = split(lower(col("text")), " ")
 
   // ---------------------------------------------------------------- §2.I1
   /** Tokenize + explode (the Generate path) → corpus word counts, top 100. */

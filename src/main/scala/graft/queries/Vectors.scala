@@ -41,14 +41,14 @@ object Vectors {
     * vectors arrive as ONE small parquet file (one scan partition), but the
     * work is O(n²) in the row count — without the repartition the entire
     * pair loop runs on a single task (measured: 1.6 s single-task vs ~0.5 s
-    * across 32 at sf0.1). The round-robin exchange of n rows is noise next
-    * to the n² loop it parallelizes. TakeOrderedAndProject keeps top-k per
-    * partition before the driver merge — no global sort of the pair stream.
+    * across 32 at sf0.1). Harness-gated via Det.spreadSmallScan so a real
+    * cluster (scan parallelism from row-group splits) never pays the
+    * exchange. TakeOrderedAndProject keeps top-k per partition before the
+    * driver merge — no global sort of the pair stream.
     */
   def knnBruteForce(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(spark, sf)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val a = Det.spreadSmallScan(spark, e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("dot"))
@@ -71,8 +71,8 @@ object Vectors {
     val e = Tables
       .embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
-      .repartition(spark.sparkContext.defaultParallelism) // parallelize the n² loop (see knnBruteForce)
+    val a = Det.spreadSmallScan(spark, // parallelize the n² loop (see knnBruteForce)
+      e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a")))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(
@@ -112,8 +112,8 @@ object Vectors {
     val e = Tables
       .embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val a = Det.spreadSmallScan(spark,
+      e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a")))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(

@@ -49,13 +49,16 @@ object Sources {
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
   /** A5′ — JSON-lines report sink: the reference persisted each run's
-    * change-list report as JSON [R:change_list.py ~med]. Distributed write
-    * (one file per partition); coalesce(1) only for small report frames.
+    * change-list report as JSON [R:change_list.py ~med].
+    * `singleFile = true` (default, matching the reference's one-report-file
+    * shape) coalesces to one task — use ONLY for small report frames; pass
+    * false for a distributed one-file-per-partition write of large frames.
     */
-  def writeJsonReport(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite").json(path)
+  def writeJsonReport(df: DataFrame, path: String, singleFile: Boolean = true): Unit =
+    (if (singleFile) df.coalesce(1) else df).write.mode("overwrite").json(path)
 
-  /** A5′ — CSV report sink with header (the Sheets-export round-trip). */
-  def writeCsvReport(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+  /** A5′ — CSV report sink with header (the Sheets-export round-trip);
+    * `singleFile` semantics as in [[writeJsonReport]]. */
+  def writeCsvReport(df: DataFrame, path: String, singleFile: Boolean = true): Unit =
+    (if (singleFile) df.coalesce(1) else df).write.mode("overwrite").option("header", "true").csv(path)
 }

@@ -61,9 +61,10 @@ object StreamOps {
     * query: drop failed fetches, dedupe replays by event_id inside the
     * watermark, aggregate hourly counts. Each stage is incremental; state
     * is bounded by the watermark (dedup) and the window (agg) — the shape
-    * that runs forever on an unbounded source. Works unchanged on batch
-    * DataFrames (dropDuplicatesWithinWatermark requires a stream; batch
-    * twin uses dropDuplicates — StreamingSpec pins equality).
+    * that runs forever on an unbounded source. STREAMING ONLY:
+    * dropDuplicatesWithinWatermark throws on batch input; the batch twin
+    * substitutes dropDuplicates("event_id") — StreamingSpec pins the two
+    * equal on the same data.
     */
   def cleanDedupProfile(events: DataFrame): DataFrame =
     tumblingHourly(

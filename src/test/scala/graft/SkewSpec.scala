@@ -31,7 +31,7 @@ class SkewSpec extends AnyFunSuite {
   test("salt actually spreads a hot key over the requested buckets") {
     val ev = Tables.events(spark, Sf0001)
     val spread = ev
-      .withColumn("__salt", Skew.rowSalt(ev, 16))
+      .withColumn("__salt", Skew.rowSalt(16))
       .where(col("event_type") === "view")
       .select(countDistinct(col("__salt")))
       .head()
