@@ -334,9 +334,9 @@ object Scalars {
 
   val arraySetopsSql: String =
     """SELECT doc_id,
-      |  array_to_string(list_sort(list_distinct(list_cat(head10, mid10))), ',') AS union_toks,
-      |  array_to_string(list_sort(list_distinct(list_filter(head10, t -> list_contains(mid10, t)))), ',') AS intersect_toks,
-      |  array_to_string(list_sort(list_distinct(list_filter(head10, t -> NOT list_contains(mid10, t)))), ',') AS except_toks,
+      |  COALESCE(array_to_string(list_sort(list_distinct(list_cat(head10, mid10))), ','), '') AS union_toks,
+      |  COALESCE(array_to_string(list_sort(list_distinct(list_filter(head10, t -> list_contains(mid10, t)))), ','), '') AS intersect_toks,
+      |  COALESCE(array_to_string(list_sort(list_distinct(list_filter(head10, t -> NOT list_contains(mid10, t)))), ','), '') AS except_toks,
       |  CAST(len(list_distinct(head10)) AS BIGINT) AS n_distinct_head
       |FROM (
       |  SELECT doc_id, t[1:10] AS head10, t[6:15] AS mid10
