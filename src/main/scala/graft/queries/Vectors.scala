@@ -244,10 +244,13 @@ object Vectors {
   // ----------------------------------------------------- north star: IVF
   /** IVF-style approximate nearest neighbors: coarse cells = per-label
     * centroids (computed from the data, exact fixed-point — identical in
-    * the oracle); each query vector probes its single nearest cell and
-    * searches only that cell's members. The inverted-file search IS the
-    * scale path: the big side never cross-joins, it equi-joins on the cell
-    * id. Query set = vec_id < 10; top-3 per query.
+    * the oracle); each query vector probes its TWO nearest cells
+    * (multi-probe) and searches only those cells' members. The
+    * inverted-file search IS the scale path: the big side never
+    * cross-joins, it equi-joins on the cell id; probe count trades linear
+    * search cost for recall (measured at sf0.001: probe-1 recall@3 0.13 →
+    * probe-2 0.30 at 2× the probed fraction). Query set = vec_id < 10;
+    * top-3 per query.
     */
   def annIvf(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -266,7 +269,7 @@ object Vectors {
       .withColumn(
         "rn",
         row_number().over(Window.partitionBy(col("qid")).orderBy(col("qc_dot").desc, col("label").asc)))
-      .where(col("rn") === 1)
+      .where(col("rn") <= 2)
       .select(col("qid"), col("qemb"), col("label"))
     assigned
       .join(emb, Seq("label"))
@@ -295,7 +298,7 @@ object Vectors {
        |          i -> CAST(q.qemb[i] AS DOUBLE) * cells.cvec[i])), (acc, x) -> acc + x) DESC,
        |        cells.label ASC) AS rn
        |    FROM q CROSS JOIN cells)
-       |  WHERE rn = 1
+       |  WHERE rn <= 2
        |), cand AS (
        |  SELECT a.qid, e.vec_id AS neighbor,
        |    ${dotSql("a.qemb", "e.embedding")} AS dot

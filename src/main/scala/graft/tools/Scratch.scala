@@ -10,54 +10,31 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sf = "/root/testdata/sf0.1"
+    val sf = "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(name: String)(f: => Long): Unit = {
-      for (i <- 1 to 3) {
-        val t0 = System.nanoTime()
-        val n = f
-        println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
-      }
-    }
-
-    val li = Tables.lineitem(spark, sf)
-    time("scan_count")(li.count())
-    time("scan_filter_project") {
-      li.where(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz"))
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")).count()
-    }
-    def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
-    time("agg_decimal_sum") {
-      li.groupBy(col("l_orderkey"))
-        .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("rev"))
-        .count()
-    }
-    time("agg_double_sum") {
-      li.groupBy(col("l_orderkey"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-        .count()
-    }
-    val cust = Tables.customer(spark, sf).where(col("c_mktsegment") === "BUILDING")
-    val ord = Tables.orders(spark, sf).where(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
-    time("join_only") {
-      cust.join(ord, col("c_custkey") === col("o_custkey"))
-        .join(li.where(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz")),
-          col("o_orderkey") === col("l_orderkey"))
-        .count()
-    }
-    time("li_repartitioned_agg_decimal") {
-      li.repartition(32)
-        .groupBy(col("l_orderkey"))
-        .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("rev"))
-        .count()
-    }
+    // IVF recall vs brute-force ground truth (top-3 per query, qids < 10)
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val truth = q
+      .crossJoin(e.select(col("vec_id").as("neighbor"), col("embedding").as("nemb")))
+      .where(col("neighbor") =!= col("qid"))
+      .withColumn("dot", graft.functions.VecDot.vec_dot(col("qemb"), col("nemb")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("neighbor").asc)))
+      .where(col("rk") <= 3)
+      .select("qid", "neighbor")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.queries.Vectors.annIvf(spark, sf)
+      .select("qid", "neighbor")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"IVF recall@3 = ${truth.intersect(ivf).size.toDouble / truth.size} (pairs ivf=${ivf.size} truth=${truth.size})")
     spark.stop()
   }
 }

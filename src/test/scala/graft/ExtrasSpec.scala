@@ -48,7 +48,7 @@ class ExtrasSpec extends AnyFunSuite {
     assert(distinctHashes === distinctTexts)
   }
 
-  test("ANN recall floors: multi-table LSH >= 0.5, IVF single-probe >= 0.1") {
+  test("ANN recall floors: multi-table LSH >= 0.5, IVF probe-2 >= 0.25") {
     import graft.queries.Vectors
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -75,9 +75,10 @@ class ExtrasSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = ivf.select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = all.intersect(got).size.toDouble / all.size
-    // single-probe IVF over label cells on unclustered data: low by
-    // construction (cells don't align with dot structure); floor only
-    assert(ivfRecall >= 0.1, s"IVF recall@3 = $ivfRecall")
+    // probe-2 IVF over label cells on unclustered data: cells don't align
+    // with dot structure, so recall is modest by construction (measured
+    // 0.30; probe-1 was 0.13); floor only
+    assert(ivfRecall >= 0.25, s"IVF recall@3 = $ivfRecall")
   }
 
   test("I4: spark.ml MinHashLSH finds every exact-duplicate pair at distance 0") {
