@@ -25,6 +25,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(Tables.EventsNanosConf, "true")
       // At bench scale every dimension side fits comfortably in memory;
       // a higher broadcast ceiling removes shuffle exchanges from the
       // join-heavy queries (AQE would get there too, but only after the
@@ -42,20 +43,31 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // A query that throws must be VISIBLE in the artifact, not timed as its
+    // time-to-failure (which can look deceptively fast under min-of-iters):
+    // failed queries report in `errors` and are excluded from `queries`/total.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+      val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      name -> round3(times.min)
+      val firstErr = runs.flatMap(_._2).headOption
+      name -> (round3(runs.map(_._1).min), firstErr)
     }
-    val qs = results.toSeq.sortBy(_._1)
+    val ok = results.collect { case (k, (v, None)) => k -> v }
+    val qs = ok.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = round3(results.values.sum)
+    val errs = results.collect { case (k, (_, Some(e))) => k -> e }
+    val errJson = errs.toSeq.sortBy(_._1)
+      .map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = round3(ok.values.sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}"""
     try {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(line) finally w.close()

@@ -9,13 +9,24 @@ import org.apache.spark.sql.functions._
   * Owns the events.ts nanosecond-timestamp trap (SURVEY §1.1, FIXTURES.md):
   * `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS,false),
   * which Spark 4.x refuses to read by default ([PARQUET_TYPE_ILLEGAL]).
-  * With `spark.sql.legacy.parquet.nanosAsLong=true` the column reads as
-  * bigint nanoseconds; we convert ns → µs with *integer* division (a
+  * With `spark.sql.legacy.parquet.nanosAsLong=true` (a SESSION conf — set
+  * it in the SparkSession builder; `graft.Tables.EventsNanosConf` names it,
+  * and every harness main in this repo sets it. There is no per-read
+  * parquet option for it, so the loader cannot stay side-effect-free AND
+  * set it itself) the column reads as bigint nanoseconds; we convert
+  * ns → µs with *integer* division (a
   * floating-point path would lose precision: 2024 epoch-nanos ≈ 1.7e18 is
   * far above double's 2^53 exact-integer range) and emit `timestamp_ntz`,
   * which matches DuckDB's own ns→µs truncating read bit-for-bit.
   */
 object Tables {
+  /** Session conf required to read `events.parquet` (nanosecond
+    * timestamps). Set to "true" in the session BUILDER — the loader no
+    * longer mutates session conf (a library loader changing global state
+    * per call is a surprise; see VERDICT r2 #7).
+    */
+  val EventsNanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** All tables present in every /root/testdata/sf* directory. */
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
@@ -29,7 +40,9 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        require(
+          spark.conf.getOption(EventsNanosConf).contains("true"),
+          s"reading events.parquet requires $EventsNanosConf=true in the session builder")
         spark.read
           .parquet(path(sfDir, "events"))
           // integer ns→µs truncation; cast through timestamp to NTZ is

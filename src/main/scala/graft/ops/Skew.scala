@@ -15,23 +15,37 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** A salt in [0, buckets) from a per-row monotonic id — POSITION-based,
-    * not content-based — so rows spread round-robin, including
-    * EXACT-DUPLICATE rows of a hot key, the common skew shape that a
-    * content-hash salt would collapse back onto one bucket. The salt is
-    * layout-dependent (not stable run-over-run), which is safe here
-    * precisely because phase 2 combines exact decimals: the final
-    * (key, n, total) is bit-identical for ANY salt assignment — the
-    * property SkewSpec pins. No rand().
+  /** A salt in [0, buckets) from a DETERMINISTIC content hash of `cols`.
+    *
+    * Determinism is a correctness requirement, not a style choice: a salt
+    * derived from `monotonically_increasing_id()` (or `rand()`, or
+    * `spark_partition_id()` above a shuffle) can re-salt the same row
+    * differently when a map task is recomputed after a partial stage
+    * failure, while surviving reducer output still reflects the old
+    * assignment — rows get double-counted or dropped in the
+    * groupBy(key, salt) phase (the SPARK-23207 failure class). A content
+    * hash assigns every row the same bucket on every (re)computation, so
+    * retries are safe by construction.
+    *
+    * Spread quality therefore depends on the hashed columns carrying
+    * per-row entropy. Hash a unique or near-unique column (an id, a
+    * timestamp) alongside the payload; if the hot key's rows are
+    * EXACT duplicates across every hashed column they collapse into one
+    * bucket and the salt degrades to the unsalted plan for that key —
+    * correct but unspread. There is no deterministic per-row signal that
+    * can distinguish bitwise-identical rows; if that shape matters,
+    * de-duplicate upstream or pre-aggregate duplicates (count per distinct
+    * row) before salting.
     */
-  def rowSalt(buckets: Int): Column =
-    pmod(monotonically_increasing_id(), lit(buckets.toLong))
+  def contentSalt(buckets: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(buckets.toLong))
 
   /** count + exact-decimal sum of `valueCol` per `key`, computed via the
-    * salted two-phase plan.
+    * salted two-phase plan. The salt hashes EVERY input column, so any
+    * distinguishing field (ids, timestamps) contributes spread.
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String, buckets: Int): DataFrame =
-    df.withColumn("__salt", rowSalt(buckets))
+    df.withColumn("__salt", contentSalt(buckets, df.columns.map(col).toSeq: _*))
       .groupBy(col(key), col("__salt"))
       .agg(
         count(lit(1)).as("__n"),

@@ -22,6 +22,7 @@ object PlanAudit {
       // inspects the STATIC plan. Runtime plans can only improve on it
       // (AQE coalesces partitions / upgrades joins / splits skew).
       .config("spark.sql.adaptive.enabled", "false")
+      .config(graft.Tables.EventsNanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

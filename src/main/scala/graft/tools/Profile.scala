@@ -16,6 +16,7 @@ object Profile {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_MAXPART", "128MB"))
       .config(graft.queries.Det.SpreadConf, sys.env.getOrElse("SPARK_GRAFT_SPREAD", "true"))
+      .config(graft.Tables.EventsNanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>

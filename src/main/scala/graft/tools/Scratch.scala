@@ -15,6 +15,7 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.Tables.EventsNanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

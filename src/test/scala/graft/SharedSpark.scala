@@ -12,6 +12,7 @@ object SharedSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(Tables.EventsNanosConf, "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -31,11 +31,25 @@ class SkewSpec extends AnyFunSuite {
   test("salt actually spreads a hot key over the requested buckets") {
     val ev = Tables.events(spark, Sf0001)
     val spread = ev
-      .withColumn("__salt", Skew.rowSalt(16))
+      .withColumn("__salt", Skew.contentSalt(16, ev.columns.map(col).toSeq: _*))
       .where(col("event_type") === "view")
       .select(countDistinct(col("__salt")))
       .head()
       .getLong(0)
     assert(spread >= 12, s"only $spread of 16 salt buckets used")
+  }
+
+  test("salt is deterministic across recomputation (retry safety)") {
+    // The same row must land in the same bucket on every evaluation — the
+    // property a monotonically_increasing_id / rand salt lacks (a retried
+    // map task would re-salt rows inconsistently with surviving output).
+    val ev = Tables.events(spark, Sf0001)
+    val salted = ev.withColumn(
+      "__salt", Skew.contentSalt(16, ev.columns.map(col).toSeq: _*))
+    val a = salted.select(col("event_id"), col("__salt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = salted.select(col("event_id"), col("__salt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b)
   }
 }
