@@ -23,8 +23,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: the bench/verify JVM runs local[32] with broadcast-heavy plans over
+// all 81 queries in one process. At 8g, G1 sits in constant young-GC +
+// concurrent-mark churn and randomly inflates individual query timings
+// 3–6× (measured round 3: total 55.3 s at 8g → 32.5 s at 48g, one 284 ms
+// pause total); 48g on this 128 GiB machine leaves GC out of the picture.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -329,21 +329,49 @@ object TextOps {
   }
 
   // ---------------------------------------------- north star: n-gram Jaccard
+  /** Document-frequency cap for Jaccard candidate generation: bigrams
+    * appearing in more than this many documents (within a lang/source
+    * bucket) are excluded from the PAIR JOIN only — they still count
+    * toward each surviving pair's exact intersection. A bigram shared by
+    * k docs emits k² candidate rows, so ubiquitous boilerplate ("click
+    * here") is exactly the quadratic killer at web scale; a df-capped
+    * bigram by definition identifies ≤ Cap²/2 pairs, bounding the
+    * candidate stream linearly in corpus size.
+    */
+  private[graft] val JaccardDfCap = 16
+
   /** Exact n-gram Jaccard near-dup pairs, bucketed by (lang, source) so the
     * candidate join is shared-bigram equi-join within buckets, never
     * all-pairs. Emits pairs with Jaccard ≥ 0.5.
+    *
+    * Candidate generation is DF-CAPPED (see [[JaccardDfCap]]): only bigrams
+    * with document frequency ≤ the cap propose pairs, so hot-bigram buckets
+    * cannot go quadratic (the round-2 plan emitted k² pair rows for a
+    * boilerplate bigram shared by k docs — AQE can spread that shuffle but
+    * not shrink it). The Jaccard itself stays EXACT: each candidate pair
+    * re-intersects the docs' FULL bigram sets (array_intersect of the
+    * collect_set arrays), so capped bigrams still count toward n_shared.
+    * Policy boundary, stated honestly: a pair whose every shared bigram
+    * exceeds the cap is not proposed — at the 0.5 Jaccard threshold such a
+    * pair would be wall-to-wall boilerplate, which a dedup pipeline handles
+    * with a boilerplate filter, not the near-dup detector. On the test data
+    * the df-capped output is row-identical to the uncapped plan at every SF
+    * (pinned by TextOpsAltSpec alongside a candidate-count bound).
     */
   def dedupNgramJaccard(spark: SparkSession, sf: String): DataFrame = {
-    // per-doc set size rides along as a window count, so the pair join
-    // carries both sizes and no join-back is needed (plan audit: 8
-    // shuffles → 4, documents scanned 2× instead of 4×).
-    // Formulation note (measured, sf0.1 warm): a per-row
-    // array_distinct(transform(...)) variant — zero shuffles before the
-    // join — ran 2–3× SLOWER than this explode+distinct form (4.4 s vs
-    // 1.9 s): nested-lambda HOFs are interpreted per element, while
-    // Generate + hash-distinct + window are codegen'd, and ReuseExchange
-    // computes the distinct subtree once for both join sides. Same lesson
-    // as dedupMinhashPerRow (TextOps scaladoc there).
+    // Formulation notes (both measured at sf0.1, warm):
+    //  - a per-row array_distinct(transform(...)) variant — zero shuffles
+    //    before the join — ran 2–3x SLOWER than this explode+distinct form
+    //    (4.4 s vs 1.9 s): nested-lambda HOFs are interpreted per element,
+    //    while Generate + hash-distinct + window are codegen'd. Same
+    //    lesson as dedupMinhashPerRow (TextOps scaladoc there).
+    //  - a "re-intersect the FULL bigram-set arrays per candidate pair"
+    //    variant was 10x slower (16-24 s vs ~2 s): every candidate paid an
+    //    interpreted array_intersect over ~150-element arrays. Hence the
+    //    split below — shared RARE bigrams are counted by the codegen'd
+    //    pair-join aggregation (cheap, exact), and only the HOT bigrams
+    //    (df > cap; none at all in ordinary corpus slices, boilerplate-
+    //    sized sets otherwise) are re-intersected as small per-doc arrays.
     val bigrams = Tables
       .documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("t"))
@@ -353,14 +381,38 @@ object TextOps {
         .as("bg"))
       .distinct()
       .withColumn("n_bg", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    val shared = bigrams
+    // df via groupBy + join-back, not a window over bg: the groupBy gets
+    // map-side partial aggregation (bounded state for hot bigrams); a
+    // window partition over a hot bigram would land every row on one
+    // reducer — the same tfidf lesson (see tfidfTopTerms).
+    val hotBgs = bigrams
+      .groupBy(col("lang"), col("source"), col("bg"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > JaccardDfCap)
+      .select(col("lang"), col("source"), col("bg"))
+    // candidate pairs + exact shared-RARE count in one codegen'd pass
+    val rare = bigrams.join(hotBgs, Seq("lang", "source", "bg"), "left_anti")
+    val pairs = rare
       .select(col("doc_id").as("doc_a"), col("n_bg").as("n_a"), col("lang"), col("source"), col("bg"))
       .join(
-        bigrams.select(col("doc_id").as("doc_b"), col("n_bg").as("n_b"), col("lang"), col("source"), col("bg")),
+        rare.select(col("doc_id").as("doc_b"), col("n_bg").as("n_b"), col("lang"), col("source"), col("bg")),
         Seq("lang", "source", "bg"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+    // exact HOT correction: per-doc hot-bigram sets are boilerplate-sized
+    // (empty on this corpus), so the per-pair intersection is O(small)
+    val hotSets = bigrams.join(hotBgs, Seq("lang", "source", "bg"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("bg"))).as("hot_bgs"))
+    val emptyArr = array().cast("array<string>")
+    val shared = pairs
+      .join(hotSets.select(col("doc_id").as("doc_a"), col("hot_bgs").as("hot_a")), Seq("doc_a"), "left")
+      .join(hotSets.select(col("doc_id").as("doc_b"), col("hot_bgs").as("hot_b")), Seq("doc_b"), "left")
+      .withColumn(
+        "n_shared",
+        col("n_shared_rare") +
+          size(array_intersect(coalesce(col("hot_a"), emptyArr), coalesce(col("hot_b"), emptyArr))).cast("long"))
     shared
       .withColumn(
         "jaccard",
@@ -371,17 +423,31 @@ object TextOps {
   }
 
   val dedupNgramJaccardSql: String =
-    """WITH bg0 AS (
+    s"""WITH bg AS (
       |  SELECT DISTINCT doc_id, lang, source,
       |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
       |  FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t FROM documents)
       |  WHERE len(t) >= 2
-      |), bg AS (
-      |  SELECT doc_id, lang, source, bg, COUNT(*) OVER (PARTITION BY doc_id) AS n_bg FROM bg0
+      |), doc_sets AS (
+      |  SELECT doc_id, lang, source, list_sort(list(DISTINCT bg)) AS bgs,
+      |    CAST(len(list(DISTINCT bg)) AS BIGINT) AS n_bg
+      |  FROM bg GROUP BY doc_id, lang, source
+      |), rare AS (
+      |  SELECT doc_id, lang, source, bg FROM (
+      |    SELECT doc_id, lang, source, bg,
+      |      COUNT(*) OVER (PARTITION BY lang, source, bg) AS df
+      |    FROM bg)
+      |  WHERE df <= $JaccardDfCap
+      |), candidates AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
       |), shared AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_bg AS n_a, b.n_bg AS n_b, COUNT(*) AS n_shared
-      |  FROM bg a JOIN bg b ON a.lang = b.lang AND a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4
+      |  SELECT c.doc_a, c.doc_b, sa.n_a, sb.n_b,
+      |    CAST(len(list_intersect(sa.bgs, sb.bgs)) AS BIGINT) AS n_shared
+      |  FROM candidates c
+      |  JOIN (SELECT doc_id, bgs, n_bg AS n_a FROM doc_sets) sa ON sa.doc_id = c.doc_a
+      |  JOIN (SELECT doc_id, bgs, n_bg AS n_b FROM doc_sets) sb ON sb.doc_id = c.doc_b
       |)
       |SELECT doc_a, doc_b, n_shared,
       |  CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE) AS jaccard

@@ -242,37 +242,100 @@ object Vectors {
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
   // ----------------------------------------------------- north star: IVF
-  /** IVF-style approximate nearest neighbors: coarse cells = per-label
-    * centroids (computed from the data, exact fixed-point — identical in
-    * the oracle); each query vector probes its TWO nearest cells
-    * (multi-probe) and searches only those cells' members. The
-    * inverted-file search IS the scale path: the big side never
-    * cross-joins, it equi-joins on the cell id; probe count trades linear
-    * search cost for recall (measured at sf0.001: probe-1 recall@3 0.13 →
-    * probe-2 0.30 at 2× the probed fraction). Query set = vec_id < 10;
-    * top-3 per query.
+  /** IVF approximate nearest neighbors over DETERMINISTIC k-means cells.
+    *
+    * Round-2's cells were per-LABEL centroids — but labels here are not a
+    * geometric partition (measured: only 3–20% of true top-3 neighbors
+    * share the query's label across SFs), capping recall@3 at 0.30. These
+    * cells are geometric: k = 8 coarse centroids trained by k-means with
+    * every source of nondeterminism pinned — init = the embeddings of the
+    * 8 lowest vec_ids, exactly 2 Lloyd iterations, assignment argmax by
+    * (dot DESC, cell ASC), and means in the exact 2^52 fixed-point domain
+    * (the aggVectorCentroid machinery) so Spark and the oracle compute
+    * bit-identical centroids. Empty cells simply drop out (both engines
+    * group only non-empty cells). Measured recall@3 vs brute force:
+    * 0.83–0.90 across sf0.001/0.01/0.1 (probe-2 of 8 cells = 1/4 of the
+    * corpus probed); the ExtrasSpec floor pins ≥ 0.6.
+    *
+    * Scale posture unchanged: training at 100 TB runs on a sample (cells
+    * are a tiny k×dim table either way); the corpus side only ever
+    * equi-joins on its assigned cell id — the inverted file — and each
+    * query cross-joins the broadcast k-row cell table, never the corpus.
+    * Query set = vec_id < 10; top-3 per query.
     */
+  private val IvfK = 8
+  private val IvfIters = 2
+
+  /** One Lloyd step: argmax-assign every vector to `cells` (cell, cvec),
+    * then recompute exact fixed-point means per cell. Returns (cell, cvec).
+    */
+  private def kmeansStep(emb: DataFrame, cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ecDot = expr(
+      "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)")
+    val assigned = emb
+      .crossJoin(broadcast(cells.select(col("cell"), col("cvec"))))
+      .withColumn("ec_dot", ecDot)
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ec_dot").desc, col("cell").asc)))
+      .where(col("rn") === 1)
+      .select(col("cell"), col("embedding"))
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum((col("v").cast("double") * lit(Fixed)).cast("long").cast("decimal(38,0)"))
+        .cast("double") / (count(lit(1)) * lit(Fixed))).as("centroid"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)")
+        .as("cvec"))
+  }
+
   def annIvf(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, sf)
-    val cells = aggVectorCentroid(spark, sf)
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)")
-        .as("cvec"))
-    val q = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    // query→centroid dot: double left fold, same order as the oracle
-    val qcDot = expr(
-      "aggregate(zip_with(qemb, cvec, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)")
-    val assigned = q
+    // init: cell i = embedding of the i-th lowest vec_id (float→double per
+    // element — exact), i = 1..k
+    val init = emb
+      .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+      .where(col("cell") <= IvfK)
+      .select(col("cell"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+    // Materialize the trained cells (k rows × dim doubles — model state,
+    // not data): iterative training lineage otherwise re-executes once per
+    // downstream consumer (measured: 8 parquet scans / 23 windows in the
+    // un-truncated plan). localCheckpoint is the idiomatic Spark move for
+    // iterative refinement — spark.ml's own KMeans materializes centroids
+    // every iteration — and at 100 TB this boundary is exactly where the
+    // trained coarse quantizer would be persisted alongside the index.
+    val cells = (1 to IvfIters).foldLeft(init)((c, _) => kmeansStep(emb, c))
+      .localCheckpoint()
+    // ONE top-2 assignment pass serves both sides: rank-1 rows form the
+    // inverted file for every corpus vector, rank ≤ 2 rows of the query
+    // subset are its probes — the k-means chain and its broadcast are
+    // planned once instead of twice.
+    val ecDot = expr(
+      "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)")
+    // ... and the assignment table is materialized too: it IS the IVF
+    // index (cell → members), the artifact a production system persists
+    // once per corpus; without this its two consumers below re-run the
+    // assignment pass each.
+    val assigned2 = emb
       .crossJoin(broadcast(cells))
-      .withColumn("qc_dot", qcDot)
+      .withColumn("ec_dot", ecDot)
       .withColumn(
         "rn",
-        row_number().over(Window.partitionBy(col("qid")).orderBy(col("qc_dot").desc, col("label").asc)))
+        row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ec_dot").desc, col("cell").asc)))
       .where(col("rn") <= 2)
-      .select(col("qid"), col("qemb"), col("label"))
-    assigned
-      .join(emb, Seq("label"))
+      .select(col("rn"), col("cell"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val inverted = assigned2
+      .where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val probed = assigned2
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("cell"))
+    probed
+      .join(inverted, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("dot", dot(col("qemb"), col("embedding")))
       .withColumn(
@@ -283,32 +346,61 @@ object Vectors {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val annIvfSql: String =
-    s"""WITH cent0 AS (
-       |  ${aggVectorCentroidSql.replace("ORDER BY label, pos", "")}
-       |), cells AS (
-       |  SELECT label, list(centroid ORDER BY pos) AS cvec FROM cent0 GROUP BY label
-       |), q AS (
-       |  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 10
-       |), assigned AS (
-       |  SELECT qid, qemb, label FROM (
-       |    SELECT q.qid, q.qemb, cells.label,
-       |      row_number() OVER (PARTITION BY q.qid ORDER BY
-       |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(q.qemb) + 1),
-       |          i -> CAST(q.qemb[i] AS DOUBLE) * cells.cvec[i])), (acc, x) -> acc + x) DESC,
-       |        cells.label ASC) AS rn
-       |    FROM q CROSS JOIN cells)
+  val annIvfSql: String = {
+    // the oracle unrolls the same 2 Lloyd steps as CTE pairs; dot products
+    // are the identical left fold, means the identical fixed-point form
+    def cellDot(vec: String, cvec: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($vec) + 1), " +
+        s"i -> CAST($vec[i] AS DOUBLE) * $cvec[i])), (acc, x) -> acc + x)"
+    def assignCte(cellsRel: String): String =
+      s"""SELECT cell, vec_id, embedding FROM (
+         |    SELECT c.cell, e.vec_id, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cellDot("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN $cellsRel c)
+         |  WHERE rn = 1""".stripMargin
+    def centCte(assignRel: String): String =
+      s"""SELECT cell, list(centroid ORDER BY pos) AS cvec FROM (
+         |    SELECT cell, i AS pos,
+         |      CAST(SUM(CAST(CAST(CAST(embedding[i + 1] AS DOUBLE) * 4503599627370496.0 AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+         |        / (COUNT(*) * 4503599627370496.0) AS centroid
+         |    FROM $assignRel, (SELECT unnest(range(64)) AS i) dims
+         |    GROUP BY cell, i)
+         |  GROUP BY cell""".stripMargin
+    s"""WITH cells0 AS (
+       |  SELECT cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding FROM embeddings)
+       |  WHERE cell <= $IvfK
+       |), assign1 AS (
+       |  ${assignCte("cells0")}
+       |), cells1 AS (
+       |  ${centCte("assign1")}
+       |), assign2 AS (
+       |  ${assignCte("cells1")}
+       |), cells2 AS (
+       |  ${centCte("assign2")}
+       |), assigned2 AS (
+       |  SELECT rn, cell, vec_id, embedding FROM (
+       |    SELECT c.cell, e.vec_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cellDot("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cells2 c)
        |  WHERE rn <= 2
+       |), inverted AS (
+       |  SELECT cell, vec_id, embedding FROM assigned2 WHERE rn = 1
+       |), probed AS (
+       |  SELECT vec_id AS qid, embedding AS qemb, cell FROM assigned2 WHERE vec_id < 10
        |), cand AS (
-       |  SELECT a.qid, e.vec_id AS neighbor,
-       |    ${dotSql("a.qemb", "e.embedding")} AS dot
-       |  FROM assigned a JOIN embeddings e ON e.label = a.label AND e.vec_id <> a.qid
+       |  SELECT p.qid, e.vec_id AS neighbor,
+       |    ${dotSql("p.qemb", "e.embedding")} AS dot
+       |  FROM probed p JOIN inverted e ON e.cell = p.cell AND e.vec_id <> p.qid
        |)
        |SELECT qid, rank, neighbor, dot FROM (
        |  SELECT qid, neighbor, dot,
        |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, neighbor ASC) AS rank
        |  FROM cand)
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("knn_brute_force", knnBruteForce _, knnBruteForceSql),

@@ -48,7 +48,7 @@ class ExtrasSpec extends AnyFunSuite {
     assert(distinctHashes === distinctTexts)
   }
 
-  test("ANN recall floors: multi-table LSH >= 0.5, IVF probe-2 >= 0.25") {
+  test("ANN recall floors: multi-table LSH >= 0.5, IVF probe-2 >= 0.6") {
     import graft.queries.Vectors
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -75,10 +75,11 @@ class ExtrasSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = ivf.select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = all.intersect(got).size.toDouble / all.size
-    // probe-2 IVF over label cells on unclustered data: cells don't align
-    // with dot structure, so recall is modest by construction (measured
-    // 0.30; probe-1 was 0.13); floor only
-    assert(ivfRecall >= 0.25, s"IVF recall@3 = $ivfRecall")
+    // deterministic k-means cells (k=8, 2 Lloyd iterations), probe-2:
+    // measured 0.83–0.90 across SFs (round-2's per-label cells managed
+    // 0.30 — labels are not a geometric partition of this space); 0.6 is
+    // the regression floor
+    assert(ivfRecall >= 0.6, s"IVF recall@3 = $ivfRecall")
   }
 
   test("I4: spark.ml MinHashLSH finds every exact-duplicate pair at distance 0") {

@@ -15,4 +15,89 @@ class TextOpsAltSpec extends AnyFunSuite {
     assert(viaFold === viaExplode)
     assert(viaFold.nonEmpty)
   }
+
+  test("df-capped jaccard == uncapped jaccard output on the test corpus") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.TextOps
+    // uncapped reference plan (the round-2 formulation), built inline
+    def uncapped(sf: String) = {
+      val bigrams = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"), col("source"),
+          split(lower(col("text")), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), col("source"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("bg"))
+        .distinct()
+        .withColumn("n_bg", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      bigrams
+        .select(col("doc_id").as("doc_a"), col("n_bg").as("n_a"), col("lang"), col("source"), col("bg"))
+        .join(bigrams.select(col("doc_id").as("doc_b"), col("n_bg").as("n_b"), col("lang"), col("source"), col("bg")),
+          Seq("lang", "source", "bg"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("jaccard",
+          col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+    Seq(Sf0001, Sf001).foreach { sf =>
+      val ref = uncapped(sf).collect().toSeq
+      val capped = TextOps.dedupNgramJaccard(spark, sf).collect().toSeq
+      assert(capped === ref, s"sf=$sf")
+    }
+  }
+
+  test("df cap bounds the candidate-pair stream on a boilerplate-heavy corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.queries.TextOps
+    // The test-data corpus has no real boilerplate (max bigram df = 17 at
+    // sf0.1), so the quadratic hot-bucket the cap exists for is synthesized
+    // here: 60 docs share an 8-bigram boilerplate prefix (df = 62 > cap)
+    // but have unique tails (boilerplate-only jaccard 9/27 < 0.5), plus one
+    // planted near-dup pair differing in a single token.
+    val boiler = "click here to continue reading the best site on earth"
+    val docs =
+      (0 until 60).map(i =>
+        (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h", "en", "web")) ++
+        Seq(
+          (100L, s"$boiler shared tail tokens here differ only slightly alpha", "en", "web"),
+          (101L, s"$boiler shared tail tokens here differ only slightly beta", "en", "web"))
+    val tmp = java.nio.file.Files.createTempDirectory("jaccard_cap").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // candidate-pair arithmetic: the join emits df·(df−1)/2 rows per bigram
+    val bigrams = Tables.documents(spark, tmp)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(lower(col("text")), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bg"))
+      .distinct()
+    val dfreq = bigrams.groupBy(col("lang"), col("source"), col("bg")).agg(count(lit(1)).as("df"))
+    val cap = TextOps.JaccardDfCap.toLong
+    val Seq(cappedPairs, uncappedPairs) = Seq(col("df") <= cap, lit(true)).map { cond =>
+      dfreq.where(cond)
+        .agg(sum(col("df") * (col("df") - 1) / 2).cast("long")).head().getLong(0)
+    }
+    // 9 boilerplate bigrams × 62·61/2 pairs each dominate the uncapped
+    // stream; the cap removes exactly that quadratic bucket
+    assert(uncappedPairs > 15000, s"synthetic corpus not hot enough: $uncappedPairs")
+    assert(cappedPairs * 100 < uncappedPairs,
+      s"cap should cut the pair stream ≥100×: capped=$cappedPairs uncapped=$uncappedPairs")
+
+    // ...and the operator still finds exactly the planted pair, with the
+    // EXACT jaccard — capped bigrams still count in the intersection
+    val out = TextOps.dedupNgramJaccard(spark, tmp).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((100L, 101L)))
+    val jac = out.head.getDouble(3)
+    // 17 bigrams each (9 boiler + 8 tail), 16 shared → 16/18
+    assert(math.abs(jac - 16.0 / 18.0) < 1e-12, s"jaccard=$jac")
+  }
 }
