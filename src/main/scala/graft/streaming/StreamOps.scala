@@ -59,19 +59,26 @@ object StreamOps {
   // ------------------------------------------------- composed EP pipeline
   /** The reference lifecycle (clean → dedup → report) as ONE streaming
     * query: drop failed fetches, dedupe replays by event_id inside the
-    * watermark, aggregate hourly counts. Each stage is incremental; state
-    * is bounded by the watermark (dedup) and the window (agg) — the shape
-    * that runs forever on an unbounded source. STREAMING ONLY:
-    * dropDuplicatesWithinWatermark throws on batch input; the batch twin
-    * substitutes dropDuplicates("event_id") — StreamingSpec pins the two
-    * equal on the same data.
+    * watermark, aggregate hourly counts AND the hourly value total (exact
+    * decimal sum, cast to double — the same order-independent money math
+    * as the batch operators, so streaming merge order can't change the
+    * result). Each stage is incremental; state is bounded by the watermark
+    * (dedup) and the window (agg) — the shape that runs forever on an
+    * unbounded source. STREAMING ONLY: dropDuplicatesWithinWatermark
+    * throws on batch input; the batch twin substitutes
+    * dropDuplicates("event_id") — StreamingSpec pins the two equal on the
+    * same data.
     */
   def cleanDedupProfile(events: DataFrame): DataFrame =
-    tumblingHourly(
-      events
-        .where(col("event_type") =!= "error")
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id"))
+    events
+      .where(col("event_type") =!= "error")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("hour_start"), col("n_events"), col("total_value"))
 
   // ---------------------------------------------------------------- §2.J6
   /** Arbitrary stateful processing: emit a row whenever a user's

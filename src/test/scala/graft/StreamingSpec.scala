@@ -74,9 +74,17 @@ class StreamingSpec extends AnyFunSuite {
     batchEvents.union(batchEvents).coalesce(1).write.mode("overwrite").parquet(dupDir)
     val src = spark.readStream.schema(batchEvents.schema).parquet(dupDir)
     val got = runStream(StreamOps.cleanDedupProfile(src), "complete", "ep")
-    val want = StreamOps.tumblingHourly(
-      batchEvents.where(col("event_type") =!= "error").dropDuplicates("event_id"))
+    val want = batchEvents
+      .where(col("event_type") =!= "error")
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("hour_start"), col("n_events"), col("total_value"))
     assert(sortedRows(got) === sortedRows(want))
+    // the value aggregate is real data, not incidental zeros
+    assert(got.where(col("total_value") =!= 0.0).count() > 0)
   }
 
   test("J6 stateful change detection: streaming == batch lag() twin") {
