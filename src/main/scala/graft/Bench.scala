@@ -46,6 +46,14 @@ object Bench {
     // A query that throws must be VISIBLE in the artifact, not timed as its
     // time-to-failure (which can look deceptively fast under min-of-iters):
     // failed queries report in `errors` and are excluded from `queries`/total.
+    //
+    // Iterations stay BACK-TO-BACK per query. An interleaved variant
+    // (ITERS full passes over the suite, min per query across passes) was
+    // measured and REJECTED: it inflated every query 25–50% (total 32.5 →
+    // 40.6 s) — cycling 81 distinct codegen'd hot loops through the JIT
+    // between a query's iterations costs more than it buys in dodging the
+    // host's roving multi-second transients (those are attributed, with
+    // cross-run floors, in docs/BENCH_NOTES.md).
     val results = SparkEntry.queries.map { case (name, fn) =>
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
