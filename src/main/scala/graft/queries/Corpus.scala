@@ -171,10 +171,119 @@ object Corpus {
       |HAVING COUNT(*) >= 3
       |ORDER BY n_shared_shingles DESC, train_doc, bench_doc""".stripMargin
 
+  // ----------------------------------------------------- chunk-level dedup
+  /** Exact dedup at CHUNK granularity: the unit that actually enters a
+    * training shard is the context-window chunk, and overlapping or
+    * re-crawled documents produce byte-identical chunks that doc-level
+    * dedup never sees. Composes [[docChunking]] with the md5 + row_number
+    * survivor convention (lowest (doc_id, chunk_id) wins) — one Catalyst
+    * plan, one chunk-hash-keyed shuffle over the chunk stream.
+    */
+  def chunkDedup(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docChunking(spark, sf)
+      .withColumn("chunk_md5", md5(col("chunk_text").cast("binary")))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_id"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"), col("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkDedupSql: String = {
+    // docChunkingSql minus its final ORDER BY, reused as the chunk source
+    val chunkSrc = docChunkingSql.replace("\nORDER BY doc_id, chunk_id", "")
+    s"""SELECT doc_id, chunk_id, chunk_md5, n_chunk_tokens FROM (
+       |  SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_md5, n_chunk_tokens,
+       |    row_number() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) AS rn
+       |  FROM ($chunkSrc)
+       |) WHERE rn = 1 ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // ----------------------------------------------------- yield report
+  /** Pipeline yield accounting per (lang, source): documents in → quality
+    * gate (≥ 10 non-empty tokens AND stopword share ≤ 1/2, INTEGER
+    * arithmetic only — `2·n_stop ≤ n_tokens` — so both engines compare
+    * exactly) → exact dedup (lowest doc_id survives) → surviving docs and
+    * token volume. The report every corpus build ships with: where the
+    * data went, stage by stage. One scan; flags are per-row projections;
+    * the dedup window is the only data-keyed shuffle.
+    */
+  def corpusYieldReport(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "and", "of", "to", "in", "is", "a", "an")
+    val flagged = Tables
+      .documents(spark, sf)
+      .withColumn("toks", filter(tokensCol, t => t =!= ""))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn(
+        "n_stop",
+        size(filter(col("toks"), t => t.isin(stop: _*))).cast("long"))
+      .withColumn(
+        "pass_quality",
+        col("n_tokens") >= 10 && col("n_stop") * 2 <= col("n_tokens"))
+    val survivors = flagged
+      .where(col("pass_quality"))
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("n_tokens")).as("tokens_out"))
+    flagged
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pass_quality"), 1L).otherwise(0L)).as("n_pass_quality"))
+      .join(survivors, Seq("lang", "source"), "left")
+      .select(
+        col("lang"),
+        col("source"),
+        col("n_docs"),
+        col("n_pass_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("tokens_out"), lit(0L)).as("tokens_out"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val corpusYieldReportSql: String =
+    """WITH flagged AS (
+      |  SELECT doc_id, lang, source, text, n_tokens, n_stop,
+      |    (n_tokens >= 10 AND n_stop * 2 <= n_tokens) AS pass_quality
+      |  FROM (
+      |    SELECT doc_id, lang, source, text,
+      |      CAST(len(toks) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','a','an'))) AS BIGINT) AS n_stop
+      |    FROM (SELECT doc_id, lang, source, text,
+      |            list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      |          FROM documents))
+      |), survivors AS (
+      |  SELECT lang, source, COUNT(*) AS n_unique, CAST(SUM(n_tokens) AS BIGINT) AS tokens_out
+      |  FROM (
+      |    SELECT lang, source, n_tokens,
+      |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM flagged WHERE pass_quality)
+      |  WHERE rn = 1 GROUP BY lang, source
+      |)
+      |SELECT f.lang, f.source, f.n_docs, f.n_pass_quality,
+      |  COALESCE(s.n_unique, 0) AS n_unique,
+      |  COALESCE(s.tokens_out, 0) AS tokens_out
+      |FROM (
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality
+      |  FROM flagged GROUP BY lang, source
+      |) f LEFT JOIN survivors s ON f.lang = s.lang AND f.source = s.source
+      |ORDER BY f.lang, f.source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("doc_chunking", docChunking _, docChunkingSql),
+    ("chunk_dedup", chunkDedup _, chunkDedupSql),
     ("split_train_test", splitTrainTest _, splitTrainTestSql),
     ("repetition_score", repetitionScore _, repetitionScoreSql),
-    ("contamination_check", contaminationCheck _, contaminationCheckSql)
+    ("contamination_check", contaminationCheck _, contaminationCheckSql),
+    ("corpus_yield_report", corpusYieldReport _, corpusYieldReportSql)
   )
 }

@@ -24,12 +24,12 @@ object Scratch {
 
     val cap = graft.queries.TextOps.JaccardDfCap
 
-    // window-df variant of the capped jaccard: df and n_bg both computed as
-    // windows in ONE pipeline over the distinct bigram stream, so every
-    // consumer (both self-join sides + the hot-set branch) shares the same
-    // subtree instead of re-deriving it through differently-pruned branches
-    def jaccardW(spark: SparkSession, sf: String): DataFrame = {
-      val b2 = Tables.documents(spark, sf)
+    // registered jaccard but with the documents scan spread across cores
+    // BEFORE the explode (the Generate currently runs in ONE task — the
+    // scan is a single row group — and only the distinct's shuffle spreads)
+    def jaccardSpread(spark: SparkSession, sf: String): DataFrame = {
+      val bigrams = graft.queries.Det
+        .spreadSmallScan(spark, Tables.documents(spark, sf))
         .select(col("doc_id"), col("lang"), col("source"),
           split(lower(col("text")), " ").as("t"))
         .where(size(col("t")) >= 2)
@@ -38,8 +38,12 @@ object Scratch {
           .as("bg"))
         .distinct()
         .withColumn("n_bg", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("lang"), col("source"), col("bg"))))
-      val rare = b2.where(col("df") <= cap)
+      val hotBgs = bigrams
+        .groupBy(col("lang"), col("source"), col("bg"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") > cap)
+        .select(col("lang"), col("source"), col("bg"))
+      val rare = bigrams.join(hotBgs, Seq("lang", "source", "bg"), "left_anti")
       val pairs = rare
         .select(col("doc_id").as("doc_a"), col("n_bg").as("n_a"), col("lang"), col("source"), col("bg"))
         .join(
@@ -48,7 +52,7 @@ object Scratch {
         .where(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
         .agg(count(lit(1)).as("n_shared_rare"))
-      val hotSets = b2.where(col("df") > cap)
+      val hotSets = bigrams.join(hotBgs, Seq("lang", "source", "bg"), "left_semi")
         .groupBy(col("doc_id"))
         .agg(array_sort(collect_set(col("bg"))).as("hot_bgs"))
       val emptyArr = array().cast("array<string>")
@@ -67,6 +71,25 @@ object Scratch {
         .orderBy(col("doc_a"), col("doc_b"))
     }
 
+    // registered contamination but with the shingle source spread
+    def contaminationSpread(spark: SparkSession, sf: String): DataFrame = {
+      val shingles = graft.queries.Det
+        .spreadSmallScan(spark, Tables.documents(spark, sf))
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .where(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
+          .as("sh"))
+      val bench = shingles.where(col("doc_id") < 20).select(col("doc_id").as("bench_doc"), col("sh"))
+      val train = shingles.where(col("doc_id") >= 20).select(col("doc_id").as("train_doc"), col("sh"))
+      train
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy(col("train_doc"), col("bench_doc"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .where(col("n_shared_shingles") >= 3)
+        .orderBy(col("n_shared_shingles").desc, col("train_doc"), col("bench_doc"))
+    }
+
     def time(name: String, f: => DataFrame): Unit = {
       for (i <- 1 to 4) {
         val t0 = System.nanoTime()
@@ -75,12 +98,13 @@ object Scratch {
       }
     }
 
-    time("jaccard_joinback", graft.queries.TextOps.dedupNgramJaccard(spark, sf))
-    time("jaccard_windowdf", jaccardW(spark, sf))
-    time("ann_ivf_ckpt", graft.queries.Vectors.annIvf(spark, sf))
+    time("jaccard_nospread", graft.queries.TextOps.dedupNgramJaccard(spark, sf))
+    time("jaccard_spread  ", jaccardSpread(spark, sf))
+    time("contam_nospread ", graft.queries.Corpus.contaminationCheck(spark, sf))
+    time("contam_spread   ", contaminationSpread(spark, sf))
 
     val a = graft.queries.TextOps.dedupNgramJaccard(spark, sf).collect().map(_.toString).toSeq
-    val b = jaccardW(spark, sf).collect().map(_.toString).toSeq
+    val b = jaccardSpread(spark, sf).collect().map(_.toString).toSeq
     println(s"jaccard equal: ${a == b}")
     spark.stop()
   }

@@ -95,6 +95,41 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk_dedup invariants: subset of chunks, one survivor per hash, lowest wins") {
+    import graft.queries.Corpus
+    import org.apache.spark.sql.functions._
+    val chunks = Corpus.docChunking(spark, Sf0001)
+    val deduped = Corpus.chunkDedup(spark, Sf0001)
+    assert(deduped.count() <= chunks.count())
+    assert(deduped.select("chunk_md5").distinct().count() === deduped.count())
+    // survivor is the minimum (doc_id, chunk_id) of its duplicate class
+    val withHash = chunks.withColumn("chunk_md5", md5(col("chunk_text").cast("binary")))
+    val firsts = withHash
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
+      .select(col("chunk_md5"), col("m.doc_id").as("doc_id"), col("m.chunk_id").as("chunk_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = deduped.select("chunk_md5", "doc_id", "chunk_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === firsts)
+  }
+
+  test("corpus_yield_report funnel: n_unique <= n_pass_quality <= n_docs, totals consistent") {
+    import graft.queries.Corpus
+    val rows = Corpus.corpusYieldReport(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nPass, nUniq, toksOut) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nUniq <= nPass && nPass <= nDocs)
+      assert((nUniq == 0) == (toksOut == 0))
+      // surviving docs passed the >= 10 token gate
+      assert(nUniq == 0 || toksOut >= nUniq * 10)
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === Tables.documents(spark, Sf0001).count())
+  }
+
   /** MinHash estimate vs exact Jaccard — the scheme used by
     * dedup_minhash_lsh, checked against its statistical error bound.
     */
