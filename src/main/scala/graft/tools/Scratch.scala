@@ -2,7 +2,6 @@
 package graft.tools
 
 import graft.Tables
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -22,72 +21,30 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val cap = graft.queries.TextOps.JaccardDfCap
-
-    // registered jaccard but with the documents scan spread across cores
-    // BEFORE the explode (the Generate currently runs in ONE task — the
-    // scan is a single row group — and only the distinct's shuffle spreads)
-    def jaccardSpread(spark: SparkSession, sf: String): DataFrame = {
-      val bigrams = graft.queries.Det
-        .spreadSmallScan(spark, Tables.documents(spark, sf))
-        .select(col("doc_id"), col("lang"), col("source"),
-          split(lower(col("text")), " ").as("t"))
-        .where(size(col("t")) >= 2)
-        .select(col("doc_id"), col("lang"), col("source"), explode(expr(
-          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
-          .as("bg"))
+    // knn_lsh via ONE exploded (table, bucket) stream + a single self-join,
+    // replacing 4 per-table self-joins + union-distinct
+    def lshSingleJoin(spark: SparkSession, sf: String): DataFrame = {
+      val e = Tables.embeddings(spark, sf)
+      val buckets = array((0 until 4).map { t =>
+        struct(
+          lit(t).as("t"),
+          concat((t * 4 + 1 to t * 4 + 4)
+            .map(i => when(element_at(col("embedding"), i) > 0f, "1").otherwise("0")): _*).as("bkt"))
+      }: _*)
+      val tb = e.select(col("vec_id"), explode(buckets).as("b"))
+        .select(col("vec_id"), col("b.t").as("t"), col("b.bkt").as("bkt"))
+      val candidates = tb.select(col("vec_id").as("vec_a"), col("t"), col("bkt"))
+        .join(tb.select(col("vec_id").as("vec_b"), col("t"), col("bkt")), Seq("t", "bkt"))
+        .where(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
         .distinct()
-        .withColumn("n_bg", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      val hotBgs = bigrams
-        .groupBy(col("lang"), col("source"), col("bg"))
-        .agg(count(lit(1)).as("df"))
-        .where(col("df") > cap)
-        .select(col("lang"), col("source"), col("bg"))
-      val rare = bigrams.join(hotBgs, Seq("lang", "source", "bg"), "left_anti")
-      val pairs = rare
-        .select(col("doc_id").as("doc_a"), col("n_bg").as("n_a"), col("lang"), col("source"), col("bg"))
-        .join(
-          rare.select(col("doc_id").as("doc_b"), col("n_bg").as("n_b"), col("lang"), col("source"), col("bg")),
-          Seq("lang", "source", "bg"))
-        .where(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-        .agg(count(lit(1)).as("n_shared_rare"))
-      val hotSets = bigrams.join(hotBgs, Seq("lang", "source", "bg"), "left_semi")
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_set(col("bg"))).as("hot_bgs"))
-      val emptyArr = array().cast("array<string>")
-      pairs
-        .join(hotSets.select(col("doc_id").as("doc_a"), col("hot_bgs").as("hot_a")), Seq("doc_a"), "left")
-        .join(hotSets.select(col("doc_id").as("doc_b"), col("hot_bgs").as("hot_b")), Seq("doc_b"), "left")
-        .withColumn(
-          "n_shared",
-          col("n_shared_rare") +
-            size(array_intersect(coalesce(col("hot_a"), emptyArr), coalesce(col("hot_b"), emptyArr))).cast("long"))
-        .withColumn(
-          "jaccard",
-          col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
-        .where(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }
-
-    // registered contamination but with the shingle source spread
-    def contaminationSpread(spark: SparkSession, sf: String): DataFrame = {
-      val shingles = graft.queries.Det
-        .spreadSmallScan(spark, Tables.documents(spark, sf))
-        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-        .where(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
-          .as("sh"))
-      val bench = shingles.where(col("doc_id") < 20).select(col("doc_id").as("bench_doc"), col("sh"))
-      val train = shingles.where(col("doc_id") >= 20).select(col("doc_id").as("train_doc"), col("sh"))
-      train
-        .join(broadcast(bench), Seq("sh"))
-        .groupBy(col("train_doc"), col("bench_doc"))
-        .agg(count(lit(1)).as("n_shared_shingles"))
-        .where(col("n_shared_shingles") >= 3)
-        .orderBy(col("n_shared_shingles").desc, col("train_doc"), col("bench_doc"))
+      candidates
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          graft.functions.VecDot.vec_dot(col("emb_a"), col("emb_b")).as("dot"))
+        .orderBy(col("dot").desc, col("vec_a").asc, col("vec_b").asc)
+        .limit(20)
     }
 
     def time(name: String, f: => DataFrame): Unit = {
@@ -98,14 +55,11 @@ object Scratch {
       }
     }
 
-    time("jaccard_nospread", graft.queries.TextOps.dedupNgramJaccard(spark, sf))
-    time("jaccard_spread  ", jaccardSpread(spark, sf))
-    time("contam_nospread ", graft.queries.Corpus.contaminationCheck(spark, sf))
-    time("contam_spread   ", contaminationSpread(spark, sf))
-
-    val a = graft.queries.TextOps.dedupNgramJaccard(spark, sf).collect().map(_.toString).toSeq
-    val b = jaccardSpread(spark, sf).collect().map(_.toString).toSeq
-    println(s"jaccard equal: ${a == b}")
+    time("lsh_4join", graft.queries.Vectors.knnLshBucketed(spark, sf))
+    time("lsh_1join", lshSingleJoin(spark, sf))
+    val a = graft.queries.Vectors.knnLshBucketed(spark, sf).collect().map(_.toString).toSeq
+    val b = lshSingleJoin(spark, sf).collect().map(_.toString).toSeq
+    println(s"lsh equal: ${a == b}")
     spark.stop()
   }
 }

@@ -51,6 +51,31 @@ class TextOpsAltSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_clusters: 4 rounds reach the fixpoint, labels are component minima") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.TextOps
+    Seq(Sf0001, Sf001).foreach { sf =>
+      val got = TextOps.dedupClusters(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // ground truth: union-find over the candidate pairs
+      val pairs = TextOps.dedupMinhashLsh(spark, sf).select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      got.foreach { case (doc, cluster) =>
+        assert(cluster === find(doc), s"sf=$sf doc=$doc")
+      }
+      assert(pairs.nonEmpty && got.values.toSet.size < got.size, s"sf=$sf: no nontrivial cluster")
+    }
+  }
+
   test("df cap bounds the candidate-pair stream on a boilerplate-heavy corpus") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
