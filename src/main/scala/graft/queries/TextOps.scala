@@ -267,18 +267,28 @@ object TextOps {
     */
   def dedupClusters(spark: SparkSession, sf: String): DataFrame = {
     val pairs = minhashCandidatePairs(spark, sf).select(col("doc_a"), col("doc_b"))
-    // both directions: label flows from every neighbor
+    // Edge table: both directions (label flows from every neighbor) PLUS a
+    // self-loop per document — the self-loop carries a vertex's own label
+    // through each round, so the propagation step can reference the label
+    // frame exactly ONCE (a union-with-previous formulation references it
+    // twice and doubles the plan per round: 2^rounds recomputes, measured
+    // 3–6 s; per-round checkpoints fixed the blowup but paid 4 eager jobs,
+    // ~4.4 s). Materialized once via localCheckpoint — at 100 TB the
+    // candidate-pair table is persisted before iterating in any sane CC
+    // implementation, and every round joins this same table.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionByName(Tables.documents(spark, sf)
+        .select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .localCheckpoint()
     val labels0 = Tables.documents(spark, sf)
       .select(col("doc_id").as("v"), col("doc_id").as("lbl"))
     val labels = (1 to CcRounds).foldLeft(labels0) { (lbls, _) =>
-      val viaNeighbor = edges
+      edges
         .join(lbls, col("src") === col("v"))
-        .select(col("dst").as("v"), col("lbl"))
-      viaNeighbor.unionByName(lbls)
-        .groupBy(col("v"))
+        .groupBy(col("dst"))
         .agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("v"), col("lbl"))
     }
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
@@ -296,11 +306,9 @@ object TextOps {
       .trim
     val rounds = (1 to CcRounds).map { i =>
       s"""labels$i AS (
-         |  SELECT v, min(lbl) AS lbl FROM (
-         |    SELECT e.dst AS v, l.lbl FROM edges e JOIN labels${i - 1} l ON e.src = l.v
-         |    UNION ALL
-         |    SELECT v, lbl FROM labels${i - 1}
-         |  ) GROUP BY v
+         |  SELECT e.dst AS v, min(l.lbl) AS lbl
+         |  FROM edges e JOIN labels${i - 1} l ON e.src = l.v
+         |  GROUP BY e.dst
          |)""".stripMargin
     }.mkString(", ")
     s"""$ctes, pairs AS (
@@ -309,6 +317,8 @@ object TextOps {
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_id AS src, doc_id AS dst FROM documents
        |), labels0 AS (
        |  SELECT doc_id AS v, doc_id AS lbl FROM documents
        |), $rounds
