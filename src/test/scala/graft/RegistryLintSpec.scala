@@ -31,6 +31,31 @@ class RegistryLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"oracle queries with banned functions: $offenders")
   }
 
+  test("query sources keep the distribution discipline: no collect, no nondeterministic ids, no UDFs") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val queryDirs = Seq("src/main/scala/graft/queries", "src/main/scala/graft/streaming",
+      "src/main/scala/graft/multimodal", "src/main/scala/graft/ops")
+    val banned = Seq(
+      ".collect()" -> "driver-side materialization in an operator",
+      "monotonically_increasing_id" -> "retry-unsafe nondeterministic id (SPARK-23207 class)",
+      "rand(" -> "nondeterministic function",
+      "udf(" -> "scala UDF (kills codegen; use built-ins or a Catalyst Expression)")
+    // lint CODE only: scaladoc legitimately discusses the banned calls
+    // (e.g. Skew.scala documents WHY monotonically_increasing_id is unsafe)
+    def stripComments(s: String): String =
+      s.replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("(?m)//.*$", "")
+    val offenders = for {
+      dir <- queryDirs
+      p <- Files.walk(Paths.get(dir)).iterator().asScala
+      if p.toString.endsWith(".scala")
+      src = stripComments(Files.readString(p))
+      (pat, why) <- banned
+      if src.contains(pat)
+    } yield s"$p: $pat ($why)"
+    assert(offenders.isEmpty, s"discipline violations:\n${offenders.mkString("\n")}")
+  }
+
   test("VecDot codegen expression is bit-identical to the HOF fold it replaced") {
     // regression guard for the custom Expression: the generated-code loop
     // must keep the exact left-fold semantics the oracle assumes
