@@ -145,6 +145,68 @@ object Vectors {
        |  FROM pairs WHERE cosine >= 0.4)
        |WHERE rn = 1 ORDER BY dup_id""".stripMargin
 
+  // ------------------------------------- north star: embedding dedup, LSH path
+  /** [[dedupEmbeddingCosine]]'s 100 TB twin, registered rather than merely
+    * documented: the SAME threshold + canonical-assignment semantics, but
+    * candidates come from the 4-table sign-bucket LSH equi-join instead of
+    * the all-pairs cross join — the swap a production corpus makes. The
+    * cosine on every surviving pair is EXACT (same fold, same norms); only
+    * candidate recall is approximate, so every emitted (dup, canonical,
+    * cosine) row is also a true ≥-threshold pair of the exact operator
+    * (ExtrasSpec pins that subset property plus a recall floor).
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    lshCandidatePairs(spark, sf)
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b")), "vec_b")
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))).as("cosine"))
+      .where(col("cosine") >= 0.4)
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("vec_b")).orderBy(col("vec_a").asc)))
+      .where(col("rn") === 1)
+      .select(col("vec_b").as("dup_id"), col("vec_a").as("canonical_id"), col("cosine"))
+      .orderBy(col("dup_id"))
+  }
+
+  val dedupEmbeddingLshSql: String = {
+    def bucketExpr(t: Int) = (t * 4 + 1 to t * 4 + 4)
+      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    val unions = (0 until 4)
+      .map(t =>
+        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM " +
+          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings) a JOIN " +
+          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings) b " +
+          s"ON a.bkt = b.bkt AND a.vec_id < b.vec_id")
+      .mkString("\n  UNION\n  ")
+    s"""WITH cand AS (
+       |  $unions
+       |), e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT cand.vec_a, cand.vec_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
+       |  FROM cand
+       |  JOIN e a ON a.vec_id = cand.vec_a
+       |  JOIN e b ON b.vec_id = cand.vec_b
+       |)
+       |SELECT vec_b AS dup_id, vec_a AS canonical_id, cosine FROM (
+       |  SELECT vec_a, vec_b, cosine,
+       |    row_number() OVER (PARTITION BY vec_b ORDER BY vec_a ASC) AS rn
+       |  FROM pairs WHERE cosine >= 0.4)
+       |WHERE rn = 1 ORDER BY dup_id""".stripMargin
+  }
+
   // ------------------------------------------------- north star: LSH buckets
   /** Multi-table LSH approximate kNN: 4 hash tables, each bucketing on the
     * sign pattern of 4 dimensions (axis-aligned hyperplane LSH over dims
@@ -163,7 +225,11 @@ object Vectors {
     * output); at scale that is one bucket-keyed shuffle instead of four
     * join stages plus a union.
     */
-  def knnLshBucketed(spark: SparkSession, sf: String): DataFrame = {
+  /** Distinct (vec_a < vec_b) pairs sharing a bucket in ANY of the 4 LSH
+    * tables — the shared candidate generator for [[knnLshBucketed]] and
+    * [[dedupEmbeddingLsh]].
+    */
+  private[queries] def lshCandidatePairs(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(spark, sf)
     val buckets = array((0 until 4).map { t =>
       struct(
@@ -173,11 +239,16 @@ object Vectors {
     }: _*)
     val tb = e.select(col("vec_id"), explode(buckets).as("b"))
       .select(col("vec_id"), col("b.t").as("t"), col("b.bkt").as("bkt"))
-    val candidates = tb.select(col("vec_id").as("vec_a"), col("t"), col("bkt"))
+    tb.select(col("vec_id").as("vec_a"), col("t"), col("bkt"))
       .join(tb.select(col("vec_id").as("vec_b"), col("t"), col("bkt")), Seq("t", "bkt"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
       .distinct()
+  }
+
+  def knnLshBucketed(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(spark, sf)
+    val candidates = lshCandidatePairs(spark, sf)
     candidates
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
@@ -409,6 +480,7 @@ object Vectors {
     ("knn_brute_force", knnBruteForce _, knnBruteForceSql),
     ("cosine_topk", cosineTopk _, cosineTopkSql),
     ("dedup_embedding_cosine", dedupEmbeddingCosine _, dedupEmbeddingCosineSql),
+    ("dedup_embedding_lsh", dedupEmbeddingLsh _, dedupEmbeddingLshSql),
     ("knn_lsh_bucketed", knnLshBucketed _, knnLshBucketedSql),
     ("agg_vector_centroid", aggVectorCentroid _, aggVectorCentroidSql),
     ("ann_ivf", annIvf _, annIvfSql)

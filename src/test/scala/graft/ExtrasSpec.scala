@@ -82,6 +82,36 @@ class ExtrasSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.6, s"IVF recall@3 = $ivfRecall")
   }
 
+  test("embedding-LSH dedup emits only true >=0.4 pairs and finds most of them") {
+    import graft.queries.Vectors
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("canonical_id", "dup_id", "cosine").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // exact >=0.4 PAIR set (before canonical assignment) for the subset check
+    val e = Tables.embeddings(spark, Sf0001)
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      sqrt(graft.functions.VecDot.vec_dot(col("embedding"), col("embedding"))).as("norm"))
+    val exactPairs = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+      .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b")),
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (graft.functions.VecDot.vec_dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))).as("cosine"))
+      .where(col("cosine") >= 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val got = pairSet(Vectors.dedupEmbeddingLsh(spark, Sf0001))
+    // soundness: every emitted pair is a true >=0.4 pair with the exact cosine
+    got.foreach { case (pair, cos) =>
+      assert(exactPairs.contains(pair), s"pair $pair not in exact >=0.4 set")
+      assert(exactPairs(pair) === cos)
+    }
+    // recall floor: candidate generation finds most duplicate-flagged docs
+    val exactDups = Vectors.dedupEmbeddingCosine(spark, Sf0001).select("dup_id")
+      .collect().map(_.getLong(0)).toSet
+    val gotDups = got.keySet.map(_._2)
+    val recall = gotDups.intersect(exactDups).size.toDouble / exactDups.size
+    assert(recall >= 0.5, s"LSH dedup recall = $recall over ${exactDups.size} dups")
+  }
+
   test("I4: spark.ml MinHashLSH finds every exact-duplicate pair at distance 0") {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
     // sf0.1 is the only scale factor whose documents table contains exact
