@@ -33,4 +33,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:ReservedCodeCacheSize=512m",
-) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -54,6 +54,10 @@ object Bench {
     // between a query's iterations costs more than it buys in dodging the
     // host's roving multi-second transients (those are attributed, with
     // cross-run floors, in docs/BENCH_NOTES.md).
+    // A transient single-iteration failure must not discard valid timings:
+    // the min is taken over SUCCESSFUL iterations, and the errors field
+    // flags both fully-failed queries (excluded from total) and flaky ones
+    // (timed, but marked) so breakage can never silently improve the total.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
@@ -62,18 +66,21 @@ object Bench {
           catch { case t: Throwable => Some(t.getClass.getSimpleName) }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val firstErr = runs.flatMap(_._2).headOption
-      name -> (round3(runs.map(_._1).min), firstErr)
+      val ok = runs.collect { case (t, None) => t }
+      val errMsg = runs.flatMap(_._2).headOption.map { cls =>
+        if (ok.isEmpty) cls else s"$cls (transient, ${runs.size - ok.size}/${runs.size} failed)"
+      }
+      name -> (ok.minOption.map(round3), errMsg)
     }
-    val ok = results.collect { case (k, (v, None)) => k -> v }
-    val qs = ok.toSeq.sortBy(_._1)
+    val timed = results.collect { case (k, (Some(v), _)) => k -> v }
+    val errs = results.collect { case (k, (_, Some(e))) => k -> e }
+    val qs = timed.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, Some(e))) => k -> e }
     val errJson = errs.toSeq.sortBy(_._1)
       .map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = round3(ok.values.sum)
+    val total = round3(timed.values.sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}"""
     try {

@@ -208,8 +208,13 @@ object Corpus {
     * arithmetic only — `2·n_stop ≤ n_tokens` — so both engines compare
     * exactly) → exact dedup (lowest doc_id survives) → surviving docs and
     * token volume. The report every corpus build ships with: where the
-    * data went, stage by stage. One scan; flags are per-row projections;
-    * the dedup window is the only data-keyed shuffle.
+    * data went, stage by stage. ONE scan through one plan: the funnel is
+    * conditional aggregation over per-row flags, with the survivor flag
+    * from a single dedup window partitioned by (pass_quality, hash) so
+    * gated and non-gated docs never share a duplicate class. An earlier
+    * two-branch formulation joined two aggregations and re-scanned +
+    * re-tokenized documents twice (PLAN_AUDIT showed 2 scans / 4
+    * shuffles); this shape is 1 scan, window + final agg.
     */
   def corpusYieldReport(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -224,28 +229,19 @@ object Corpus {
       .withColumn(
         "pass_quality",
         col("n_tokens") >= 10 && col("n_stop") * 2 <= col("n_tokens"))
-    val survivors = flagged
-      .where(col("pass_quality"))
-      .withColumn("h", md5(col("text").cast("binary")))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
-      .where(col("rn") === 1)
-      .groupBy(col("lang"), col("source"))
-      .agg(
-        count(lit(1)).as("n_unique"),
-        sum(col("n_tokens")).as("tokens_out"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("pass_quality"), md5(col("text").cast("binary")))
+            .orderBy(col("doc_id"))))
+      .withColumn("survivor", col("pass_quality") && col("rn") === 1)
     flagged
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("pass_quality"), 1L).otherwise(0L)).as("n_pass_quality"))
-      .join(survivors, Seq("lang", "source"), "left")
-      .select(
-        col("lang"),
-        col("source"),
-        col("n_docs"),
-        col("n_pass_quality"),
-        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-        coalesce(col("tokens_out"), lit(0L)).as("tokens_out"))
+        sum(when(col("pass_quality"), 1L).otherwise(0L)).as("n_pass_quality"),
+        sum(when(col("survivor"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("survivor"), col("n_tokens")).otherwise(0L)).as("tokens_out"))
       .orderBy(col("lang"), col("source"))
   }
 
@@ -260,23 +256,17 @@ object Corpus {
       |    FROM (SELECT doc_id, lang, source, text,
       |            list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
       |          FROM documents))
-      |), survivors AS (
-      |  SELECT lang, source, COUNT(*) AS n_unique, CAST(SUM(n_tokens) AS BIGINT) AS tokens_out
-      |  FROM (
-      |    SELECT lang, source, n_tokens,
-      |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-      |    FROM flagged WHERE pass_quality)
-      |  WHERE rn = 1 GROUP BY lang, source
+      |), ranked AS (
+      |  SELECT lang, source, n_tokens, pass_quality,
+      |    (pass_quality AND row_number() OVER (
+      |       PARTITION BY pass_quality, md5(text) ORDER BY doc_id) = 1) AS survivor
+      |  FROM flagged
       |)
-      |SELECT f.lang, f.source, f.n_docs, f.n_pass_quality,
-      |  COALESCE(s.n_unique, 0) AS n_unique,
-      |  COALESCE(s.tokens_out, 0) AS tokens_out
-      |FROM (
-      |  SELECT lang, source, COUNT(*) AS n_docs,
-      |    CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality
-      |  FROM flagged GROUP BY lang, source
-      |) f LEFT JOIN survivors s ON f.lang = s.lang AND f.source = s.source
-      |ORDER BY f.lang, f.source""".stripMargin
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+      |  CAST(SUM(CASE WHEN survivor THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(SUM(CASE WHEN survivor THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_out
+      |FROM ranked GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("doc_chunking", docChunking _, docChunkingSql),

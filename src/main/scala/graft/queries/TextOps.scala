@@ -246,13 +246,18 @@ object TextOps {
 
   // --------------------------------------- north star: dedup clusters (CC)
   /** Rounds of min-label propagation in [[dedupClusters]]. Labels converge
-    * once the round count reaches the pair graph's diameter; LSH near-dup
-    * components are band-sharing cliques and short chains, so 4 rounds is
-    * ample here (TextOpsAltSpec asserts a 5th round changes nothing). At
-    * 100 TB the same step runs loop-until-fixpoint with a localCheckpoint
-    * per round — the standard distributed connected-components recipe —
-    * but a FIXED unrolled count is what both engines can express
-    * identically, which is what the oracle contract needs.
+    * once the round count reaches the eccentricity of each component's
+    * minimum-id vertex; LSH near-dup components are band-sharing cliques
+    * and short chains, so 4 rounds suffices on this corpus —
+    * TextOpsAltSpec pins the 4-round labels EQUAL to a union-find fixpoint
+    * ground truth at every SF, so a component that ever needed a 5th round
+    * would fail the suite rather than silently yield non-minimal labels.
+    * At 100 TB the same step runs loop-until-fixpoint with a
+    * localCheckpoint per round — the standard distributed
+    * connected-components recipe — but a FIXED unrolled count is what both
+    * engines can express identically, which is what the oracle contract
+    * needs; the honest boundary is that a deeper-than-4-hops chain would
+    * need the loop form.
     */
   private val CcRounds = 4
 

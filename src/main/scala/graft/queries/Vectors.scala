@@ -176,19 +176,9 @@ object Vectors {
       .orderBy(col("dup_id"))
   }
 
-  val dedupEmbeddingLshSql: String = {
-    def bucketExpr(t: Int) = (t * 4 + 1 to t * 4 + 4)
-      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
-      .mkString(" || ")
-    val unions = (0 until 4)
-      .map(t =>
-        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM " +
-          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings) a JOIN " +
-          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings) b " +
-          s"ON a.bkt = b.bkt AND a.vec_id < b.vec_id")
-      .mkString("\n  UNION\n  ")
+  val dedupEmbeddingLshSql: String =
     s"""WITH cand AS (
-       |  $unions
+       |  $lshCandidateUnionSql
        |), e AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS norm
@@ -205,7 +195,6 @@ object Vectors {
        |    row_number() OVER (PARTITION BY vec_b ORDER BY vec_a ASC) AS rn
        |  FROM pairs WHERE cosine >= 0.4)
        |WHERE rn = 1 ORDER BY dup_id""".stripMargin
-  }
 
   // ------------------------------------------------- north star: LSH buckets
   /** Multi-table LSH approximate kNN: 4 hash tables, each bucketing on the
@@ -225,6 +214,25 @@ object Vectors {
     * output); at scale that is one bucket-keyed shuffle instead of four
     * join stages plus a union.
     */
+  /** The oracle twin of [[lshCandidatePairs]] — ONE definition consumed by
+    * both LSH oracles, so a bucketing change can never make the two
+    * registered queries disagree on candidate generation.
+    */
+  // def, not val: dedupEmbeddingLshSql above interpolates this during
+  // object init, and a val declared later would still be null at that point
+  private[queries] def lshCandidateUnionSql: String = {
+    def bucketExpr(t: Int) = (t * 4 + 1 to t * 4 + 4)
+      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    (0 until 4)
+      .map(t =>
+        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM " +
+          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings) a JOIN " +
+          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings) b " +
+          s"ON a.bkt = b.bkt AND a.vec_id < b.vec_id")
+      .mkString("\n  UNION\n  ")
+  }
+
   /** Distinct (vec_a < vec_b) pairs sharing a bucket in ANY of the 4 LSH
     * tables — the shared candidate generator for [[knnLshBucketed]] and
     * [[dedupEmbeddingLsh]].
@@ -258,18 +266,8 @@ object Vectors {
   }
 
   val knnLshBucketedSql: String = {
-    def bucketExpr(t: Int) = (t * 4 + 1 to t * 4 + 4)
-      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
-      .mkString(" || ")
-    val unions = (0 until 4)
-      .map(t =>
-        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM " +
-          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings) a JOIN " +
-          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings) b " +
-          s"ON a.bkt = b.bkt AND a.vec_id < b.vec_id")
-      .mkString("\n  UNION\n  ")
     s"""WITH cand AS (
-       |  $unions
+       |  $lshCandidateUnionSql
        |)
        |SELECT cand.vec_a, cand.vec_b,
        |  ${dotSql("a.embedding", "b.embedding")} AS dot

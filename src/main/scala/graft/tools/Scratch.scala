@@ -1,12 +1,17 @@
 // scratch experiment main — not part of the library surface
 package graft.tools
 
-import graft.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Ad-hoc micro-benchmarks for plan experiments; edited freely between
-  * rounds, never referenced by the library or tests.
+  * rounds, never referenced by the library or tests. Current contents: a
+  * neutral timing harness over registered queries (pass names as args) —
+  * the round-3 A/B variants (q3 pre-agg, q5 projected broadcasts, jaccard
+  * window-df / spread, single-join LSH) landed or were rejected and their
+  * numbers are recorded in docs/BENCH_NOTES.md; the rejected variants were
+  * deleted here once measured so this file can never silently compare a
+  * landed plan against itself.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -21,32 +26,6 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // knn_lsh via ONE exploded (table, bucket) stream + a single self-join,
-    // replacing 4 per-table self-joins + union-distinct
-    def lshSingleJoin(spark: SparkSession, sf: String): DataFrame = {
-      val e = Tables.embeddings(spark, sf)
-      val buckets = array((0 until 4).map { t =>
-        struct(
-          lit(t).as("t"),
-          concat((t * 4 + 1 to t * 4 + 4)
-            .map(i => when(element_at(col("embedding"), i) > 0f, "1").otherwise("0")): _*).as("bkt"))
-      }: _*)
-      val tb = e.select(col("vec_id"), explode(buckets).as("b"))
-        .select(col("vec_id"), col("b.t").as("t"), col("b.bkt").as("bkt"))
-      val candidates = tb.select(col("vec_id").as("vec_a"), col("t"), col("bkt"))
-        .join(tb.select(col("vec_id").as("vec_b"), col("t"), col("bkt")), Seq("t", "bkt"))
-        .where(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"))
-        .distinct()
-      candidates
-        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-        .select(col("vec_a"), col("vec_b"),
-          graft.functions.VecDot.vec_dot(col("emb_a"), col("emb_b")).as("dot"))
-        .orderBy(col("dot").desc, col("vec_a").asc, col("vec_b").asc)
-        .limit(20)
-    }
-
     def time(name: String, f: => DataFrame): Unit = {
       for (i <- 1 to 4) {
         val t0 = System.nanoTime()
@@ -55,11 +34,8 @@ object Scratch {
       }
     }
 
-    time("lsh_4join", graft.queries.Vectors.knnLshBucketed(spark, sf))
-    time("lsh_1join", lshSingleJoin(spark, sf))
-    val a = graft.queries.Vectors.knnLshBucketed(spark, sf).collect().map(_.toString).toSeq
-    val b = lshSingleJoin(spark, sf).collect().map(_.toString).toSeq
-    println(s"lsh equal: ${a == b}")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q1_pricing_summary")
+    names.foreach(n => time(n, graft.SparkEntry.queries(n)(spark, sf)))
     spark.stop()
   }
 }

@@ -39,6 +39,24 @@ class SkewSpec extends AnyFunSuite {
     assert(spread >= 12, s"only $spread of 16 salt buckets used")
   }
 
+  test("documented caveat: byte-identical rows collapse to one bucket (correct, unspread)") {
+    // This pins the honest boundary in Skew's scaladoc: a content salt
+    // cannot spread rows that are identical in every hashed column — the
+    // aggregate stays CORRECT (phase 2 merges exact decimals) but that
+    // key degrades to the unsalted single-reducer shape. If this test
+    // starts failing because spread appeared, the salt gained a
+    // nondeterministic input — which would be the retry-safety bug.
+    import spark.implicits._
+    val dupes = Seq.fill(500)(("hot", 1.0)).toDF("k", "value")
+    val spread = dupes
+      .withColumn("__salt", Skew.contentSalt(16, dupes.columns.map(col).toSeq: _*))
+      .select(countDistinct(col("__salt")))
+      .head().getLong(0)
+    assert(spread === 1L)
+    val out = Skew.saltedCountSum(dupes, "k", "value", 16).collect()
+    assert(out.length === 1 && out.head.getLong(1) === 500L && out.head.getDouble(2) === 500.0)
+  }
+
   test("salt is deterministic across recomputation (retry safety)") {
     // The same row must land in the same bucket on every evaluation — the
     // property a monotonically_increasing_id / rand salt lacks (a retried

@@ -54,7 +54,9 @@ class TextOpsAltSpec extends AnyFunSuite {
   test("dedup_clusters: 4 rounds reach the fixpoint, labels are component minima") {
     import org.apache.spark.sql.functions._
     import graft.queries.TextOps
-    Seq(Sf0001, Sf001).foreach { sf =>
+    // all SFs including the bench surface: a component whose min-id vertex
+    // sits more than CcRounds hops from some member would surface here
+    Seq(Sf0001, Sf001, "/root/testdata/sf0.1").foreach { sf =>
       val got = TextOps.dedupClusters(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       // ground truth: union-find over the candidate pairs
