@@ -1,8 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark harness. Prints ONE short JSON line (driver contract) and also
-  * writes the same JSON to bench_out.json in the working directory.
+/** Benchmark harness. Prints ONE short JSON line (driver contract) and
+  * writes the FULL per-query detail to bench_out.json (tracked in git).
   *
   * Methodology (round-2, per VERDICT r1):
   *  - Warmup runs execute at the BENCH scale factor itself, not sf0.001 —
@@ -10,11 +10,22 @@ import org.apache.spark.sql.SparkSession
   *    code paths uncompiled (r1 artifact: map_explode 29 s cold → 0.7 s warm).
   *  - Each query is timed over ITERS runs; the MIN is reported (JVM-scale
   *    timings are noisy; min is the least-noise estimator of plan cost).
-  *  - Values rounded to ms so the output line stays ~2 KB (r1's full-precision
-  *    doubles overflowed the driver's line capture → "parsed": null).
+  *  - The PRINTED line carries only the BASELINE.md headline queries plus
+  *    suite totals. The driver captures the last 2000 chars of output and
+  *    parses the JSON line it finds there; rounds 1–3 printed the full
+  *    85-query map (~3 KB) and every BENCH_r*.json came back
+  *    "parsed": null — the line must fit, with sbt's trailer, in 2000
+  *    chars. Full per-query timings live in bench_out.json.
   */
 object Bench {
   private def round3(x: Double): Double = math.rint(x * 1000) / 1000
+
+  /** The BASELINE.md 10-query suite — the per-query set the judge compares
+    * against DuckDB (docs/BENCH_NOTES.md floor table rows). */
+  private val headline = Seq(
+    "q1_pricing_summary", "q3_join_topk", "q5_multijoin", "window_rank",
+    "distinct_users_daily", "sessionize", "json_extract_agg",
+    "dedup_docs_exact", "knn_brute_force", "setop_except")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,18 +85,24 @@ object Bench {
     }
     val timed = results.collect { case (k, (Some(v), _)) => k -> v }
     val errs = results.collect { case (k, (_, Some(e))) => k -> e }
-    val qs = timed.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qJson(m: Seq[(String, Double)]) =
+      m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errs.toSeq.sortBy(_._1)
       .map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = round3(timed.values.sum)
+    val head = headline.flatMap(k => timed.get(k).map(k -> _))
+    val headTotal = round3(head.map(_._2).sum)
+    // Short line for the driver's 2000-char tail capture: headline queries
+    // + totals; `value` stays the full-suite total (the BASELINE.json
+    // contract's definition of BENCH).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"baseline10_total":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters}"""
     try {
       val w = new java.io.PrintWriter("bench_out.json")
-      try w.println(line) finally w.close()
+      try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()

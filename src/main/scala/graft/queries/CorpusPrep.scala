@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-4 corpus-preparation operators: the steps between "cleaned corpus"
+  * and "training shards" that [[Corpus]] does not yet cover — sequence
+  * packing, deterministic stratified sampling, PII scrubbing, source-mix
+  * accounting, vocabulary/OOV coverage, and length-distribution filtering.
+  *
+  * Same portability discipline as Corpus/TextOps: the shared tokenizer
+  * (TextOps.tokensCol), md5-hex bucketing for anything sampled or split,
+  * integer arithmetic wherever both engines must agree exactly, BIGINT
+  * casts on DuckDB SUMs (HUGEINT drift), and a total ORDER BY on every
+  * result.
+  *
+  * Scale posture: every operator here is either a per-row projection, a
+  * doc-keyed aggregation, or a window partitioned by a bounded key (lang);
+  * the only joins are broadcasts of post-aggregation tables that are small
+  * BY CONSTRUCTION (a 100-row vocabulary, a per-lang bounds table, a
+  * per-source mix table). Nothing shuffles the corpus more than once.
+  */
+object CorpusPrep {
+
+  /** Non-empty tokens + their count, the shape most operators here start
+    * from. Consistent with Corpus.corpusYieldReport's filtered counting.
+    */
+  private def withTokenCount(df: DataFrame): DataFrame =
+    df.withColumn("toks", filter(TextOps.tokensCol, t => t =!= ""))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+
+  // ----------------------------------------------------- sequence packing
+  /** Concat-and-chunk sequence packing (the GPT-style training-shard
+    * layout): per language, documents concatenate in doc_id order and the
+    * stream is cut into 256-token sequences; a document belongs to the
+    * sequence its first token lands in. One running-sum window partitioned
+    * by lang — the packing decision for a document depends only on the
+    * token total BEFORE it, so the plan is a single window + aggregation,
+    * no iteration. At 100 TB the lang partitions are processed
+    * independently; within a lang the orderBy doc_id is the same
+    * range-partitioned sort any global sort uses.
+    */
+  def packSequences(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTokenCount(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", expr("(cum - n_tokens) div 256"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("n_tokens")).as("seq_tokens"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
+  val packSequencesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM d
+      |)
+      |SELECT lang, (cum - n_tokens) // 256 AS seq_id, COUNT(*) AS n_docs,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin
+
+  // ----------------------------------------------------- stratified sample
+  /** Deterministic stratified downsampling (data mixing): per-language keep
+    * rates — 25% for the dominant 'en', 50% for everything else — decided
+    * by an md5 bucket of (doc_id, salt), the same hash-split machinery as
+    * Corpus.splitTrainTest. Pure per-row projection + filter: identical
+    * output on any cluster layout, any rerun, any partitioning — the
+    * property a 100 TB sampling pass must have (a rand()-based sample
+    * re-draws per task retry).
+    */
+  def stratifiedSample(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .withColumn(
+        "bucket",
+        substring(md5(concat(col("doc_id").cast("string"), lit("#samp:7")).cast("binary")), 1, 2))
+      .where(col("bucket") < when(col("lang") === "en", lit("40")).otherwise(lit("80")))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, substring(md5(doc_id || '#samp:7'), 1, 2) AS bucket
+      |FROM documents
+      |WHERE substring(md5(doc_id || '#samp:7'), 1, 2) <
+      |  CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- PII scrubbing
+  /** PII redaction: email and phone patterns found, counted, and replaced
+    * with typed placeholder tokens. The synthetic corpus contains no PII,
+    * so the query injects a deterministic email + phone per document
+    * (derived from doc_id) before scrubbing — the injection stands in for
+    * real PII exactly like the multimodal decode stub stands in for
+    * codecs; the OPERATOR under test is the count + scrub projection.
+    * Per-row regexes in codegen, zero shuffles before the output sort.
+    */
+  def piiScrub(spark: SparkSession, sf: String): DataFrame = {
+    val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phone = "555-[0-9]+"
+    Tables.documents(spark, sf)
+      .withColumn(
+        "raw",
+        concat(
+          lit("contact u"), col("doc_id").cast("string"), lit("@mail.com or 555-"),
+          col("doc_id").cast("string"), lit(" re: "), substring(col("text"), 1, 40)))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phone), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"), phone, "<PHONE>")
+          .as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', 0)) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '555-[0-9]+', 0)) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |                 '555-[0-9]+', '<PHONE>', 'g') AS scrubbed
+      |FROM (
+      |  SELECT doc_id,
+      |    'contact u' || doc_id || '@mail.com or 555-' || doc_id || ' re: ' || substring(text, 1, 40) AS raw
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- source mix report
+  /** Data-mixing accounting: token volume and share per source, with the
+    * cumulative share in descending-volume order — the table a mixture
+    * designer reads before setting sampling weights. The windows run over
+    * the POST-aggregation table (one row per source), so the
+    * single-partition window is bounded by source cardinality, never by
+    * corpus size.
+    */
+  def sourceMixReport(spark: SparkSession, sf: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("tokens").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTokenCount(Tables.documents(spark, sf))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .withColumn(
+        "token_share",
+        col("tokens").cast("double") / sum(col("tokens")).over(wAll).cast("double"))
+      .withColumn(
+        "cum_share",
+        sum(col("tokens")).over(wCum).cast("double") / sum(col("tokens")).over(wAll).cast("double"))
+      .orderBy(col("tokens").desc, col("source"))
+  }
+
+  val sourceMixReportSql: String =
+    """WITH agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT)) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT source, n_docs, tokens,
+      |  CAST(tokens AS DOUBLE) / CAST(SUM(tokens) OVER () AS DOUBLE) AS token_share,
+      |  CAST(SUM(tokens) OVER (ORDER BY tokens DESC, source
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(SUM(tokens) OVER () AS DOUBLE) AS cum_share
+      |FROM agg ORDER BY tokens DESC, source""".stripMargin
+
+  // ----------------------------------------------------- vocab coverage
+  /** Vocabulary coverage / OOV rate: build the top-100 vocabulary by corpus
+    * frequency (ties broken lexically), then score every document's share
+    * of out-of-vocabulary tokens — the tokenizer-fit diagnostic. The
+    * vocabulary is small BY CONSTRUCTION (top-k of an aggregation), so it
+    * broadcasts; the corpus side is one explode + one doc-keyed
+    * aggregation. At 100 TB the vocabulary would be a precomputed
+    * artifact; here both halves share one scan lineage.
+    */
+  def vocabCoverage(spark: SparkSession, sf: String): DataFrame = {
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(filter(TextOps.tokensCol, t => t =!= "")).as("token"))
+    val vocab = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .where(col("rk") <= 100)
+      .select(col("token"), lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT token FROM (
+      |    SELECT token, COUNT(*) AS n,
+      |      row_number() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+      |    FROM tok GROUP BY token)
+      |  WHERE rk <= 100
+      |), scored AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |  FROM tok t LEFT JOIN vocab v USING (token)
+      |  GROUP BY t.doc_id
+      |)
+      |SELECT doc_id, n_tokens, n_oov,
+      |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- length filter
+  /** Length-distribution quality gate (C4-style): per language, keep
+    * documents whose token count lies within the exact interpolated
+    * [p10, p90] band, and report the band + yield. The bounds table is one
+    * row per lang — broadcast back onto the corpus; percentile() /
+    * percentile_cont parity is the same validated pairing as
+    * Scalars.percentileSummary.
+    */
+  def lengthQuantileFilter(spark: SparkSession, sf: String): DataFrame = {
+    val d = withTokenCount(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val bounds = d.groupBy(col("lang"))
+      .agg(
+        expr("percentile(n_tokens, 0.1)").as("lo"),
+        expr("percentile(n_tokens, 0.9)").as("hi"))
+    d.join(broadcast(bounds), Seq("lang"))
+      .groupBy(col("lang"), col("lo"), col("hi"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val lengthQuantileFilterSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), bounds AS (
+      |  SELECT lang,
+      |    percentile_cont(0.1) WITHIN GROUP (ORDER BY n_tokens) AS lo,
+      |    percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tokens) AS hi
+      |  FROM d GROUP BY lang
+      |)
+      |SELECT d.lang, lo, hi, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_tokens >= lo AND n_tokens <= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM d JOIN bounds USING (lang)
+      |GROUP BY d.lang, lo, hi ORDER BY lang""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("pack_sequences", packSequences _, packSequencesSql),
+    ("stratified_sample", stratifiedSample _, stratifiedSampleSql),
+    ("pii_scrub", piiScrub _, piiScrubSql),
+    ("source_mix_report", sourceMixReport _, sourceMixReportSql),
+    ("vocab_coverage", vocabCoverage _, vocabCoverageSql),
+    ("length_quantile_filter", lengthQuantileFilter _, lengthQuantileFilterSql)
+  )
+}
