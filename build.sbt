@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes to sbt's logger by default, which prefixes every
+// stdout line with "[info] " (and stderr with "[error] "). The driver parses
+// the bench/verify JSON contract line from raw process output — round 4's
+// BENCH artifact captured the complete JSON but "parsed": null because of
+// that prefix. StdoutOutput inherits sbt's own stdio, so program lines pass
+// through bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

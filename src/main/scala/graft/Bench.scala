@@ -2,7 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness. Prints ONE short JSON line (driver contract) and
-  * writes the FULL per-query detail to bench_out.json (tracked in git).
+  * writes the FULL per-query detail to bench_out.json (committed to git at
+  * each round's end so per-round full timings are archived — round 4's was
+  * left untracked and its detail lost).
   *
   * Methodology (round-2, per VERDICT r1):
   *  - Warmup runs execute at the BENCH scale factor itself, not sf0.001 —
@@ -47,7 +49,10 @@ object Bench {
       // heavy-compute queries repartition them across cores (queries.Det)
       .config(graft.queries.Det.SpreadConf, "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: each WindowExec "No Partition Defined" WARN is ~190
+    // chars and the round-4 run emitted 8 of them — ~1.5 KB of the driver's
+    // 2000-char tail capture, crowding the one line that matters.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warmup at sfDir: compiles the generated code (Janino) and JITs
     // the hot paths the timed passes will take, including AQE's re-planned
     // stages at this scale.
@@ -104,7 +109,11 @@ object Bench {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
-    println(line)
+    // Contract line LAST, after spark.stop(): Spark's shutdown logging (and
+    // any lingering executor output) must not land between this line and
+    // process exit — the driver parses the JSON line from the output tail.
     spark.stop()
+    println(line)
+    Console.out.flush()
   }
 }

@@ -35,19 +35,42 @@ object CorpusPrep {
   /** Concat-and-chunk sequence packing (the GPT-style training-shard
     * layout): per language, documents concatenate in doc_id order and the
     * stream is cut into 256-token sequences; a document belongs to the
-    * sequence its first token lands in. One running-sum window partitioned
-    * by lang — the packing decision for a document depends only on the
-    * token total BEFORE it, so the plan is a single window + aggregation,
-    * no iteration. At 100 TB the lang partitions are processed
-    * independently; within a lang the orderBy doc_id is the same
-    * range-partitioned sort any global sort uses.
+    * sequence its first token lands in.
+    *
+    * The per-lang running sum is a TWO-PHASE prefix sum, not one window per
+    * lang (the round-4 form: `Window.partitionBy(lang)` hands WindowExec an
+    * entire language's corpus as ONE task — 'en' at 100 TB is most of the
+    * data in a single partition). Here doc_ids are cut into fixed-width
+    * buckets; phase 1 aggregates per-(lang, bucket) token totals (map-side
+    * combined, tiny result) and turns them into per-bucket starting offsets
+    * with a window over that POST-agg table (rows = #buckets, bounded);
+    * phase 2 runs the cumulative sum inside each (lang, bucket) window task
+    * — bounded by bucket width, never by corpus size — and adds the
+    * broadcast offset. Same `cum` for every row as the monolithic window,
+    * so the packing is bit-identical; this is the standard distributed
+    * scan/prefix-sum decomposition.
     */
   def packSequences(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withTokenCount(Tables.documents(spark, sf))
+    val d = withTokenCount(Tables.documents(spark, sf))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bkt", expr("doc_id div 1024"))
+    // phase 1: bucket totals -> exclusive prefix per (lang, bucket). The
+    // window here runs over one row per bucket, not per document.
+    val offsets = d.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn(
+        "offset",
+        coalesce(
+          sum(col("bkt_tokens")).over(
+            Window.partitionBy(col("lang")).orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("lang"), col("bkt"), col("offset"))
+    // phase 2: within-bucket running sum + broadcast offset join
+    val wB = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("cum", sum(col("n_tokens")).over(wB) + col("offset"))
       .withColumn("seq_id", expr("(cum - n_tokens) div 256"))
       .groupBy(col("lang"), col("seq_id"))
       .agg(
@@ -187,10 +210,16 @@ object CorpusPrep {
   def vocabCoverage(spark: SparkSession, sf: String): DataFrame = {
     val tok = Tables.documents(spark, sf)
       .select(col("doc_id"), explode(filter(TextOps.tokensCol, t => t =!= "")).as("token"))
+    // Top-100 via orderBy().limit(): Spark plans TakeOrderedAndProject —
+    // each partition keeps its local top 100 and only those reach the
+    // driver-side merge. The round-4 form (row_number over a global window)
+    // shuffled EVERY distinct token to one task to rank them; at 100 TB
+    // that is billions of rows through one partition for a 100-row answer.
+    // Ties break lexically (n desc, token asc), so the rows are identical.
     val vocab = tok.groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("token"))))
-      .where(col("rk") <= 100)
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
       .select(col("token"), lit(true).as("in_vocab"))
     tok.join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("doc_id"))

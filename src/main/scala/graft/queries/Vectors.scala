@@ -367,10 +367,16 @@ object Vectors {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, sf)
     // init: cell i = embedding of the i-th lowest vec_id (float→double per
-    // element — exact), i = 1..k
+    // element — exact), i = 1..k. orderBy().limit() plans as
+    // TakeOrderedAndProject (per-partition top-k, no global sort); the
+    // round-4 form ranked the ENTIRE corpus through one unpartitioned
+    // window to keep 8 rows. The row_number window below runs over the
+    // k-row result only — bounded by construction.
     val init = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .limit(IvfK)
       .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
-      .where(col("cell") <= IvfK)
       .select(col("cell"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
     // Materialize the trained cells (k rows × dim doubles — model state,
     // not data): iterative training lineage otherwise re-executes once per
