@@ -18,6 +18,10 @@ run / fork := true
 // that prefix. StdoutOutput inherits sbt's own stdio, so program lines pass
 // through bare.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop sbt's "[success] Total time: ..." trailer, so the contract
+// line a main prints last is the actual final line of process output no
+// matter how the driver's tail parser picks its candidate line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -74,14 +74,30 @@ object Bench {
     // the min is taken over SUCCESSFUL iterations, and the errors field
     // flags both fully-failed queries (excluded from total) and flaky ones
     // (timed, but marked) so breakage can never silently improve the total.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case t: Throwable => Some(t.getClass.getSimpleName) }
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val pass1 = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to iters).map(_ => timeOnce(fn))
+    }
+    // Rescue pass: ONE more iteration per query, a full suite-length after
+    // its back-to-back iterations, merged by min. The host's roving stall
+    // (BENCH_NOTES: +0.4–4 s on 3–6 random queries per run) can span all
+    // `iters` back-to-back runs of a sub-second query — min-of-3 then
+    // records the stall, not the plan (r4's artifact: q1 1.55 s vs its
+    // 0.21 s floor; run 3 this round: distinct_users_daily 4.2 s vs
+    // 0.19 s). It does not sit on the same query a suite later. A rescue
+    // sample pays the JIT-cycling tax (+25–50%, the reason interleaved
+    // iterations were rejected as the PRIMARY estimator) — irrelevant to a
+    // min-merge: it beats a stalled 4 s sample and loses to a healthy
+    // 0.2 s one. Single-run artifacts land near the cross-run floor.
+    val results = pass1.map { case (name, runs1) =>
+      val runs = runs1 :+ timeOnce(SparkEntry.queries(name))
       val ok = runs.collect { case (t, None) => t }
       val errMsg = runs.flatMap(_._2).headOption.map { cls =>
         if (ok.isEmpty) cls else s"$cls (transient, ${runs.size - ok.size}/${runs.size} failed)"
@@ -102,9 +118,9 @@ object Bench {
     // + totals; `value` stays the full-suite total (the BASELINE.json
     // contract's definition of BENCH).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"baseline10_total":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"baseline10_total":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1}"""
     try {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(fullLine) finally w.close()
