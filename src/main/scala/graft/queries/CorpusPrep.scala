@@ -290,12 +290,115 @@ object CorpusPrep {
       |FROM d JOIN bounds USING (lang)
       |GROUP BY d.lang, lo, hi ORDER BY lang""".stripMargin
 
+  // ----------------------------------------------------- shard assignment
+  /** Training-shard assignment + balance report: every document lands in
+    * one of 16 shards by the first hex digit of md5(doc_id, salt) — the
+    * deterministic, layout-independent assignment a 100 TB shard writer
+    * partitions its output by (`.write.partitionBy("shard")` downstream).
+    * The report aggregates per shard and scores balance as each shard's
+    * share of documents; the share window runs over the 16-row post-agg
+    * table, bounded by construction.
+    */
+  def shardAssignment(spark: SparkSession, sf: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    withTokenCount(Tables.documents(spark, sf))
+      .withColumn(
+        "shard",
+        substring(md5(concat(col("doc_id").cast("string"), lit("#shard:3")).cast("binary")), 1, 1))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .withColumn(
+        "doc_share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(wAll).cast("double"))
+      .orderBy(col("shard"))
+  }
+
+  val shardAssignmentSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    substring(md5(doc_id || '#shard:3'), 1, 1) AS shard,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS doc_share
+      |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ----------------------------------------------------- cross-source dedup
+  /** Cross-source duplication accounting: per source, how many of its
+    * documents have text that also appears (by exact content hash) in at
+    * least one OTHER source — the inter-crawl overlap a dedup strategy is
+    * sized from. One hash-keyed aggregation (distinct sources per hash)
+    * joined back on the hash: the join's probe side shuffles on the same
+    * key the aggregation just partitioned by, so Spark reuses that
+    * partitioning — two corpus shuffles total at any scale.
+    */
+  def crossSourceDedup(spark: SparkSession, sf: String): DataFrame = {
+    val h = Tables.documents(spark, sf)
+      .select(col("source"), md5(col("text").cast("binary")).as("h"))
+    val spread = h.groupBy(col("h")).agg(countDistinct(col("source")).as("n_sources"))
+    h.join(spread, Seq("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L)).as("n_cross_dup"))
+      .withColumn(
+        "cross_dup_rate",
+        col("n_cross_dup").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  val crossSourceDedupSql: String =
+    """WITH hs AS (
+      |  SELECT source, md5(text) AS h FROM documents
+      |), spread AS (
+      |  SELECT h, COUNT(DISTINCT source) AS n_sources FROM hs GROUP BY h
+      |), agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_dup
+      |  FROM hs JOIN spread USING (h)
+      |  GROUP BY source
+      |)
+      |SELECT source, n_docs, n_cross_dup,
+      |  CAST(n_cross_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS cross_dup_rate
+      |FROM agg ORDER BY source""".stripMargin
+
+  // ----------------------------------------------------- token histogram
+  /** Token-length histogram with fixed-width bins (width 10): the corpus
+    * length profile a packing/filtering config is tuned against. Per-row
+    * bin projection + one aggregation — the bin count is bounded by
+    * max-doc-length/width, never by corpus size.
+    */
+  def tokenHistogram(spark: SparkSession, sf: String): DataFrame =
+    withTokenCount(Tables.documents(spark, sf))
+      .withColumn("bin_lo", expr("(n_tokens div 10) * 10"))
+      .groupBy(col("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("bin_lo"))
+
+  val tokenHistogramSql: String =
+    """WITH d AS (
+      |  SELECT CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT (n_tokens // 10) * 10 AS bin_lo, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      |FROM d GROUP BY 1 ORDER BY bin_lo""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("pack_sequences", packSequences _, packSequencesSql),
     ("stratified_sample", stratifiedSample _, stratifiedSampleSql),
     ("pii_scrub", piiScrub _, piiScrubSql),
     ("source_mix_report", sourceMixReport _, sourceMixReportSql),
     ("vocab_coverage", vocabCoverage _, vocabCoverageSql),
-    ("length_quantile_filter", lengthQuantileFilter _, lengthQuantileFilterSql)
+    ("length_quantile_filter", lengthQuantileFilter _, lengthQuantileFilterSql),
+    ("shard_assignment", shardAssignment _, shardAssignmentSql),
+    ("cross_source_dedup", crossSourceDedup _, crossSourceDedupSql),
+    ("token_histogram", tokenHistogram _, tokenHistogramSql)
   )
 }

@@ -119,4 +119,50 @@ class CorpusPrepSpec extends AnyFunSuite {
     // the gate must actually filter somewhere
     assert(rows.exists { case (_, _, _, n, k) => k < n })
   }
+
+  test("shard_assignment: partition of the corpus, shares sum to 1, tokens conserved") {
+    val shards = CorpusPrep.shardAssignment(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(shards.map(_._2).sum === 500L)
+    assert(math.abs(shards.map(_._4).sum - 1.0) < 1e-9)
+    assert(shards.forall(s => s._1.length == 1 && "0123456789abcdef".contains(s._1)))
+    val totalTokens = tokenCounts().agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(shards.map(_._3).sum === totalTokens)
+    // md5 balance: no shard should hold a wildly skewed share (expected
+    // 1/16 ≈ 0.0625; allow a generous 3x band at n=500)
+    shards.foreach { case (s, _, _, share) => assert(share < 0.19, s"shard $s share=$share") }
+  }
+
+  test("cross_source_dedup: totals partition the corpus, matches an independent formulation") {
+    val got = CorpusPrep.crossSourceDedup(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got.map(_._2).sum === 500L)
+    got.foreach { case (_, n, dup) => assert(dup >= 0 && dup <= n) }
+    // independent formulation: distinct (hash, source) pairs self-joined
+    // on hash across different sources -> hashes with cross-source copies
+    val hs = Tables.documents(spark, Sf0001)
+      .select(col("source"), md5(col("text").cast("binary")).as("h")).cache()
+    val pairs = hs.distinct()
+    val crossHashes = pairs.as("a")
+      .join(pairs.as("b"), col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))
+      .select(col("a.h")).distinct()
+    val want = hs.join(crossHashes, Seq("h"), "left_semi")
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (src, _, dup) => assert(dup === want.getOrElse(src, 0L), s"source=$src") }
+    hs.unpersist()
+  }
+
+  test("token_histogram: bins are width-10 aligned and partition the corpus") {
+    val bins = CorpusPrep.tokenHistogram(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bins.forall(_._1 % 10 == 0))
+    assert(bins.map(_._2).sum === 500L)
+    val totalTokens = tokenCounts().agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(bins.map(_._3).sum === totalTokens)
+    // every bin's token sum must lie within [bin_lo * n, (bin_lo + 9) * n]
+    bins.foreach { case (lo, n, toks) =>
+      assert(toks >= lo * n && toks <= (lo + 9) * n, s"bin $lo")
+    }
+  }
 }

@@ -145,4 +145,19 @@ class ExtrasSpec extends AnyFunSuite {
     assert(missed === 0, s"$missed exact-duplicate pairs missed by MinHashLSH")
     assert(dupPairs.count() > 0, "fixture should contain exact duplicates")
   }
+
+  test("embedding_quantize: values bounded by ±127, unit-dot reconstruction close") {
+    val q = graft.queries.Vectors.embeddingQuantize(spark, Sf0001).cache()
+    assert(q.where(col("norm") <= 0.0).count() === 0)
+    // |x| <= ||v|| => every quantized component in [-127, 127]
+    assert(q.where(exists(col("qvec"), v => abs(v) > 127)).count() === 0)
+    // dequantized self-dot ~ 1 for a unit vector: bounded quantization error
+    val err = q.select(
+      abs(expr("aggregate(qvec, 0D, (acc, x) -> acc + (x / 127.0D) * (x / 127.0D))") - lit(1.0))
+        .as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    // 64 dims, per-component error <= 0.5/127 -> dot error well under 0.5
+    assert(err < 0.5, s"max reconstruction error $err")
+    q.unpersist()
+  }
 }

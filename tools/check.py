@@ -57,13 +57,16 @@ def main():
         mism = []
         for c in got.columns:
             a, b = got[c], want[c]
-            eq = (a == b) | (a.isna() & b.isna())
             try:
+                # scalar columns; raises for cells that are numpy arrays
+                # (elementwise == yields an array, ambiguous truth value)
+                eq = (a == b) | (a.isna() & b.isna())
                 if not eq.all():
                     mism.append(c)
             except Exception:
-                # object/array columns: fall back to string compare
-                if not (a.astype(str) == b.astype(str)).all():
+                # object/array columns: fall back to per-cell string compare
+                if not (a.map(lambda v: str(list(v)) if hasattr(v, "__len__") and not isinstance(v, str) else str(v))
+                        == b.map(lambda v: str(list(v)) if hasattr(v, "__len__") and not isinstance(v, str) else str(v))).all():
                     mism.append(c)
         if mism:
             failures += 1
