@@ -512,7 +512,12 @@ object Vectors {
         sqrt(expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
       .select(
         col("vec_id"), col("norm"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS INT))")
+        // comma-joined string, not array<int>: the oracle-compare surface
+        // serializes every array column to a string (same discipline as
+        // agg_collect_sorted / array_setops) — int→string is exact in
+        // both engines
+        concat_ws(",",
+          expr("transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS INT) AS STRING))"))
           .as("qvec"))
       .orderBy(col("vec_id"))
 
@@ -525,7 +530,8 @@ object Vectors {
       |  FROM embeddings
       |)
       |SELECT vec_id, norm,
-      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS INT)) AS qvec
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS INT)), ',') AS qvec
       |FROM n ORDER BY vec_id""".stripMargin
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(

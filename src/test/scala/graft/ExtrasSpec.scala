@@ -147,13 +147,16 @@ class ExtrasSpec extends AnyFunSuite {
   }
 
   test("embedding_quantize: values bounded by ±127, unit-dot reconstruction close") {
-    val q = graft.queries.Vectors.embeddingQuantize(spark, Sf0001).cache()
+    val q = graft.queries.Vectors.embeddingQuantize(spark, Sf0001)
+      .withColumn("qarr", transform(split(col("qvec"), ","), v => v.cast("int")))
+      .cache()
     assert(q.where(col("norm") <= 0.0).count() === 0)
+    assert(q.where(exists(col("qarr"), v => v.isNull)).count() === 0) // round-trips as ints
     // |x| <= ||v|| => every quantized component in [-127, 127]
-    assert(q.where(exists(col("qvec"), v => abs(v) > 127)).count() === 0)
+    assert(q.where(exists(col("qarr"), v => abs(v) > 127)).count() === 0)
     // dequantized self-dot ~ 1 for a unit vector: bounded quantization error
     val err = q.select(
-      abs(expr("aggregate(qvec, 0D, (acc, x) -> acc + (x / 127.0D) * (x / 127.0D))") - lit(1.0))
+      abs(expr("aggregate(qarr, 0D, (acc, x) -> acc + (x / 127.0D) * (x / 127.0D))") - lit(1.0))
         .as("e"))
       .agg(max(col("e"))).head().getDouble(0)
     // 64 dims, per-component error <= 0.5/127 -> dot error well under 0.5
