@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-5 corpus-curation analytics: the selection / accounting operators a
+  * data-mixture designer runs between profiling and shard-writing — survivor
+  * policy for dedup, lexical-diversity scoring, inter-source similarity,
+  * target-mix rebalancing, and embedding-space outlier detection.
+  *
+  * Same discipline as CorpusPrep: shared tokenizer (TextOps.tokensCol),
+  * integer arithmetic until the final division (cross-engine float sums are
+  * order-dependent; integer sums are not), BIGINT casts on DuckDB SUMs,
+  * total ORDER BY everywhere.
+  *
+  * Scale posture: per-row projections, doc-/token-keyed aggregations, and
+  * windows partitioned by a content hash (bounded by duplicate-cluster
+  * size); every join's small side is a post-aggregation table broadcast by
+  * construction (20 sources, 10 labels). Nothing shuffles the corpus more
+  * than twice.
+  */
+object Curation {
+
+  private def tokCount: org.apache.spark.sql.Column =
+    size(filter(TextOps.tokensCol, t => t =!= "")).cast("long")
+
+  // ----------------------------------------------------- dedup keep-best
+  /** Exact dedup with a QUALITY survivor policy: within each content-hash
+    * cluster keep the longest document (ties: lowest doc_id) — the
+    * "keep best duplicate" rule real pipelines use instead of keep-first
+    * (the duplicate kept first by crawl order is often the truncated one).
+    * Reports cluster size alongside the survivor. The windows partition by
+    * the content hash, so a task holds one duplicate cluster, never the
+    * corpus — the same bounded-partition shape as dedup_docs_exact.
+    */
+  def dedupKeepBest(spark: SparkSession, sf: String): DataFrame = {
+    val wH = Window.partitionBy(col("h"))
+    Tables.documents(spark, sf)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn(
+        "rn",
+        row_number().over(wH.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("n_dups", count(lit(1)).over(wH))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("h"), col("n_chars"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupKeepBestSql: String =
+    """SELECT doc_id, h, n_chars, n_dups FROM (
+      |  SELECT doc_id, md5(text) AS h, n_chars,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY md5(text)) AS n_dups
+      |  FROM documents
+      |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- token diversity
+  /** Lexical-diversity / repetition scoring without libm: type-token ratio,
+    * Gini–Simpson index, and top-token share per document. All three stay
+    * in integer space until one final double division — Σc and Σc² are
+    * exact BIGINTs in both engines (a log-based entropy would be
+    * libm-dependent cross-engine; Simpson ranks repetitive docs the same
+    * way and is exactly portable). Low simpson / high top_share = the
+    * degenerate repeated-token docs a quality gate drops.
+    */
+  def tokenDiversity(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(filter(TextOps.tokensCol, t => t =!= "")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_sq"),
+        max(col("c")).as("top_c"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .withColumn(
+        "simpson",
+        lit(1.0) - col("sum_sq").cast("double") / (col("n_tokens") * col("n_tokens")).cast("double"))
+      .withColumn("top_share", col("top_c").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+
+  val tokenDiversitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+      |), agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+      |    CAST(SUM(c * c) AS BIGINT) AS sum_sq, CAST(MAX(c) AS BIGINT) AS top_c
+      |  FROM c GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, n_distinct, sum_sq, top_c,
+      |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+      |  1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson,
+      |  CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_share
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- source similarity
+  /** Pairwise source similarity: Jaccard over each source's distinct token
+    * vocabulary — the redundancy map that tells a mixture designer which
+    * crawls overlap before weighting them. The token-keyed self-join emits
+    * at most |sources|²/2 pairs per token (bounded by source cardinality,
+    * never corpus size); vocabulary sizes broadcast back as a 20-row
+    * post-agg table. Integer intersection counts; one double division.
+    */
+  def sourceSimilarity(spark: SparkSession, sf: String): DataFrame = {
+    val st = Tables.documents(spark, sf)
+      .select(col("source"), explode(filter(TextOps.tokensCol, t => t =!= "")).as("token"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+    val inter = st.as("a")
+      .join(st.as("b"), col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n_tok").as("n1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n_tok").as("n2"))), Seq("s2"))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("inter"), col("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  val sourceSimilaritySql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source, token FROM (
+      |    SELECT source, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+      |    FROM documents)
+      |), sizes AS (
+      |  SELECT source, COUNT(*) AS n_tok FROM st GROUP BY source
+      |), pairs AS (
+      |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+      |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY a.source, b.source
+      |)
+      |SELECT s1, s2, x.n_tok AS n1, y.n_tok AS n2, inter,
+      |  CAST(inter AS DOUBLE) / CAST(x.n_tok + y.n_tok - inter AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sizes x ON pairs.s1 = x.source
+      |           JOIN sizes y ON pairs.s2 = y.source
+      |ORDER BY s1, s2""".stripMargin
+
+  // ----------------------------------------------------- domain rebalance
+  /** Target-mix rebalancing: given a uniform per-source token target
+    * (total/20), compute each source's deterministic keep rate and the
+    * expected post-sampling token volume — the table that parameterizes a
+    * stratified_sample pass. One corpus aggregation; the share window runs
+    * over the 20-row post-agg table. Integer target (floor division), one
+    * double division per rate, floor() on the product — every step exactly
+    * portable.
+    */
+  def domainRebalance(spark: SparkSession, sf: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    Tables.documents(spark, sf)
+      .withColumn("n_tokens", tokCount)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .withColumn("target_tokens", expr("(sum(tokens) over ()) div 20"))
+      .withColumn(
+        "keep_rate",
+        least(lit(1.0), col("target_tokens").cast("double") / col("tokens").cast("double")))
+      .withColumn(
+        "expected_tokens",
+        floor(col("tokens").cast("double") * col("keep_rate")).cast("long"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("target_tokens"),
+        col("keep_rate"), col("expected_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val domainRebalanceSql: String =
+    """WITH agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT)) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source
+      |), t AS (
+      |  SELECT source, n_docs, tokens,
+      |    CAST(SUM(tokens) OVER () AS BIGINT) // 20 AS target_tokens
+      |  FROM agg
+      |)
+      |SELECT source, n_docs, tokens, target_tokens,
+      |  least(1.0, CAST(target_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)) AS keep_rate,
+      |  CAST(floor(CAST(tokens AS DOUBLE) *
+      |    least(1.0, CAST(target_tokens AS DOUBLE) / CAST(tokens AS DOUBLE))) AS BIGINT) AS expected_tokens
+      |FROM t ORDER BY source""".stripMargin
+
+  // ----------------------------------------------------- embedding outliers
+  /** Embedding-space outlier detection: per label, flag vectors whose
+    * squared L2 norm sits more than ±25% from the label mean — the cheap
+    * first-pass screen for corrupt / degenerate embeddings before ANN
+    * indexing. The norm is the proven VecDot left fold (float→double
+    * exact); it is then QUANTIZED to 2^-20 fixed point so the per-label
+    * mean is a ratio of exact integers, never an order-dependent float sum
+    * (the same trick as the 2^52 centroid; ×2^20 is an exponent shift,
+    * exact). The 10-row stats table broadcasts back; ±25% is mean_q/4,
+    * exact in doubles.
+    */
+  def embeddingOutliers(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(spark, sf)
+      .select(
+        col("vec_id"), col("label"),
+        floor(graft.functions.VecDot.vec_dot(col("embedding"), col("embedding")) * lit(1048576.0))
+          .cast("long").as("norm2_q"))
+    val stats = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("norm2_q")).as("s_q"))
+      .withColumn("mean_q", col("s_q").cast("double") / col("n_vecs").cast("double"))
+      .select(col("label"), col("n_vecs"), col("mean_q"))
+    e.join(broadcast(stats), Seq("label"))
+      .groupBy(col("label"), col("n_vecs"), col("mean_q"))
+      .agg(
+        sum(when(abs(col("norm2_q").cast("double") - col("mean_q")) > col("mean_q") * lit(0.25), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_rate", col("n_outliers").cast("double") / col("n_vecs").cast("double"))
+      .select(col("label"), col("n_vecs"), col("mean_q"), col("n_outliers"), col("outlier_rate"))
+      .orderBy(col("label"))
+  }
+
+  private def norm2Sql(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($v) + 1), " +
+      s"i -> CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  val embeddingOutliersSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, label,
+      |    CAST(floor(${norm2Sql("embedding")} * 1048576.0) AS BIGINT) AS norm2_q
+      |  FROM embeddings
+      |), stats AS (
+      |  SELECT label, COUNT(*) AS n_vecs, CAST(SUM(norm2_q) AS BIGINT) AS s_q
+      |  FROM e GROUP BY label
+      |), s2 AS (
+      |  SELECT label, n_vecs, CAST(s_q AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_q FROM stats
+      |)
+      |SELECT e.label, n_vecs, mean_q,
+      |  CAST(SUM(CASE WHEN abs(CAST(norm2_q AS DOUBLE) - mean_q) > mean_q * 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(SUM(CASE WHEN abs(CAST(norm2_q AS DOUBLE) - mean_q) > mean_q * 0.25 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(n_vecs AS DOUBLE) AS outlier_rate
+      |FROM e JOIN s2 USING (label)
+      |GROUP BY e.label, n_vecs, mean_q ORDER BY label""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("dedup_keep_best", dedupKeepBest _, dedupKeepBestSql),
+    ("token_diversity", tokenDiversity _, tokenDiversitySql),
+    ("source_similarity", sourceSimilarity _, sourceSimilaritySql),
+    ("domain_rebalance", domainRebalance _, domainRebalanceSql),
+    ("embedding_outliers", embeddingOutliers _, embeddingOutliersSql)
+  )
+}
