@@ -18,7 +18,8 @@ object SparkEntry {
   private def allRegistries: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Relational.registry ++ Windows.registry ++ Scalars.registry ++
       TextOps.registry ++ Corpus.registry ++ CorpusPrep.registry ++
-      Curation.registry ++ Vectors.registry ++ StreamShaped.registry ++
+      Curation.registry ++ EventAnalytics.registry ++
+      Vectors.registry ++ StreamShaped.registry ++
       ChangeDetect.registry ++ graft.multimodal.Multimodal.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

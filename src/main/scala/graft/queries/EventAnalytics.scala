@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det.{dec2, sumMoney}
+
+/** Round-5 event-analytics operators: the product-analytics queries an
+  * events pipeline serves beyond plain windows — time-based RANGE frames,
+  * ordered funnel analysis, and weekly cohort retention.
+  *
+  * Determinism discipline: money sums in DECIMAL(18,2) (Det.sumMoney),
+  * epoch arithmetic in integer seconds (`unix_seconds` ↔ DuckDB
+  * `floor(epoch(ts))` — both floor for post-1970 data), strict-inequality
+  * funnel ordering (tie-stable in both engines), total ORDER BY.
+  *
+  * Scale posture: windows partition by user_id (a user's history is the
+  * bounded unit of locality — the same shape as sessionize/running-sum);
+  * the funnel and cohort queries are user-keyed aggregations whose join
+  * sides share the user partitioning (exchange reuse, no extra corpus
+  * shuffle); nothing is driver-side.
+  */
+object EventAnalytics {
+
+  /** Integer epoch seconds of the naive event timestamp (UTC session):
+    * `unix_seconds` truncates sub-second precision exactly like the
+    * oracle's floor(epoch(ts)) for post-epoch data.
+    */
+  private def epochSec: org.apache.spark.sql.Column =
+    unix_seconds(col("ts").cast("timestamp")).as("sec")
+
+  private val epochSecSql = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+  // ------------------------------------------------- time-range rolling
+  /** Rolling 1-hour window per user via a RANGE frame over epoch seconds —
+    * the value-based frame ROWS frames can't express (each row's window is
+    * [sec-3599, sec], including ALL tied peers, so the result is
+    * independent of intra-second event order). The rows-frame moving
+    * average (window_moving_avg) counts a fixed number of events; this
+    * counts a fixed span of time.
+    */
+  def windowRollingRange(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3599, Window.currentRow)
+    Tables.events(spark, sf)
+      .withColumn("sec", epochSec)
+      .select(
+        col("event_id"), col("user_id"), col("sec"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(dec2(col("value"))).over(w).cast("double").as("value_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val windowRollingRangeSql: String =
+    s"""SELECT event_id, user_id, $epochSecSql AS sec,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY $epochSecSql
+      |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------- funnel
+  /** Ordered funnel: per user, the deepest stage of view → click →
+    * purchase reached IN ORDER (a click before the first view doesn't
+    * count), then the user count and share per stage. One user-keyed
+    * aggregation (min event time per type via conditional min) + a 4-row
+    * post-agg share window — the classic conversion-funnel shape.
+    */
+  def funnelStages(spark: SparkSession, sf: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .withColumn(
+        "stage",
+        when(col("t_view").isNull, "0_none")
+          .when(col("t_click").isNull || !(col("t_click") > col("t_view")), "1_view")
+          .when(col("t_purchase").isNull || !(col("t_purchase") > col("t_click")), "2_click")
+          .otherwise("3_purchase"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn(
+        "user_share",
+        col("n_users").cast("double") / sum(col("n_users")).over(wAll).cast("double"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelStagesSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id
+      |), staged AS (
+      |  SELECT CASE
+      |    WHEN t_view IS NULL THEN '0_none'
+      |    WHEN t_click IS NULL OR NOT (t_click > t_view) THEN '1_view'
+      |    WHEN t_purchase IS NULL OR NOT (t_purchase > t_click) THEN '2_click'
+      |    ELSE '3_purchase' END AS stage
+      |  FROM per_user
+      |)
+      |SELECT stage, COUNT(*) AS n_users,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS user_share
+      |FROM staged GROUP BY stage ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------- cohort retention
+  /** Weekly cohort retention: users cohorted by the Monday week of their
+    * first event; active-user counts per (cohort_week, weeks-since-cohort).
+    *
+    * The event stream collapses to DISTINCT (user, week) FIRST — everything
+    * downstream (cohort derivation, join, final count) then moves user-week
+    * rows, a tiny fraction of the corpus at scale, and the final aggregate
+    * is a plain count instead of a count-distinct expand (measured: 1.70 s
+    * → 0.75 s warm at sf0.1). Correct because date_trunc is monotone, so
+    * min(event_week) = week(min ts), and counting distinct-by-construction
+    * rows = counting distinct users. Week arithmetic stays in whole days
+    * (datediff div 7 — truncated weeks differ by exact day multiples of 7).
+    */
+  def cohortRetention(spark: SparkSession, sf: String): DataFrame = {
+    val userWeeks = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("event_week"))
+      .distinct()
+    val cohort = userWeeks.groupBy(col("user_id")).agg(min(col("event_week")).as("cohort_week"))
+    userWeeks.join(cohort, Seq("user_id"))
+      .withColumn("week_offset", expr("datediff(event_week, cohort_week) div 7"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT cohort_week,
+      |  date_diff('day', cohort_week, date_trunc('week', ts)) // 7 AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_active
+      |FROM events e JOIN cohort USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("window_rolling_range", windowRollingRange _, windowRollingRangeSql),
+    ("funnel_stages", funnelStages _, funnelStagesSql),
+    ("cohort_retention", cohortRetention _, cohortRetentionSql)
+  )
+}

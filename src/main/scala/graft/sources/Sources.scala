@@ -61,4 +61,15 @@ object Sources {
     * `singleFile` semantics as in [[writeJsonReport]]. */
   def writeCsvReport(df: DataFrame, path: String, singleFile: Boolean = true): Unit =
     (if (singleFile) df.coalesce(1) else df).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** A5″ — ORC sink + source: Spark's second built-in columnar format, for
+    * interchange with ORC-native warehouses. Same predicate-pushdown /
+    * column-pruning surface as parquet (SourcesSpec pins the round-trip
+    * and the pushed filter).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

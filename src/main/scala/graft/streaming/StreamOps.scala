@@ -80,6 +80,29 @@ object StreamOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("w.start").as("hour_start"), col("n_events"), col("total_value"))
 
+  // ---------------------------------------------------------------- §2.J7
+  /** Stream–stream interval join: each click joins the same user's view
+    * events from the preceding 30 minutes (attribution). BOTH sides carry
+    * a watermark and the join condition bounds view_ts relative to
+    * click_ts from both directions — exactly what Spark requires to evict
+    * join state: a view older than click watermark − 30 min can never
+    * match again and is dropped, so state is bounded on an unbounded
+    * stream. Batch twin: the same join condition on static frames
+    * (StreamingSpec pins them equal).
+    */
+  def clickViewAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    c.join(
+        v,
+        col("user_id") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
   // ---------------------------------------------------------------- §2.J6
   /** Arbitrary stateful processing: emit a row whenever a user's
     * event_type differs from their previous one — the reference's

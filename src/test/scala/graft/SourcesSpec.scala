@@ -63,10 +63,10 @@ class SourcesSpec extends AnyFunSuite {
         Row("ca", "main", "https://example.org/ca", java.lang.Boolean.TRUE),
         Row("ny", "data", "https://example.org/ny/d", java.lang.Boolean.FALSE)),
       Sources.sourceTableSchema)
-    df.write.mode("overwrite").orc(s"$dir/orc")
+    Sources.writeOrc(df, s"$dir/orc")
     Sources.writeCsvReport(df, s"$dir/csv")
     Sources.writeJsonReport(df, s"$dir/json")
-    val backOrc = spark.read.orc(s"$dir/orc")
+    val backOrc = Sources.readOrc(spark, s"$dir/orc")
     val backCsv = Sources.readCsv(spark, s"$dir/csv", Sources.sourceTableSchema)
     val backJson = Sources.readJson(spark, s"$dir/json", Sources.sourceTableSchema)
     Seq(backOrc, backCsv, backJson).foreach { back =>

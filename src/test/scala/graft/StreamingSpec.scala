@@ -57,6 +57,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) === sortedRows(want))
   }
 
+  test("J7 stream-stream interval join (click->view attribution): streaming == batch twin") {
+    val got = runStream(
+      StreamOps.clickViewAttribution(
+        streamEvents.where(col("event_type") === "view"),
+        streamEvents.where(col("event_type") === "click")),
+      "append", "j7")
+    val want = StreamOps.clickViewAttribution(
+      batchEvents.where(col("event_type") === "view"),
+      batchEvents.where(col("event_type") === "click"))
+    assert(want.count() > 0)
+    assert(sortedRows(got) === sortedRows(want))
+  }
+
   test("J5 dedup within watermark drops exact duplicate event_ids") {
     // duplicate every event: stream must emit each event_id exactly once
     val dupDir = Files.createTempDirectory("graft-stream-dup").toString
