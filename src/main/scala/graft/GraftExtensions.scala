@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VecDot
+import graft.functions.{NfcNormalize, VecDot}
 
 /** Session extension (SURVEY §2.K4 surface): registers the library's native
   * functions into the SQL function registry, so the raw-SQL surface
@@ -16,8 +16,10 @@ import graft.functions.VecDot
   *   - an existing session: `GraftExtensions.register(spark)`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -40,8 +42,26 @@ object GraftExtensions {
       ""),
     buildVecDot)
 
+  val nfcNormalizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(
+      classOf[NfcNormalize].getCanonicalName,
+      null,
+      "nfc_normalize",
+      "nfc_normalize(s) - Unicode canonical composition (NFC) of a string",
+      ""),
+    {
+      case Seq(s) => NfcNormalize(s)
+      case other =>
+        throw new IllegalArgumentException(
+          s"nfc_normalize expects exactly 1 argument, got ${other.size}")
+    })
+
   /** Register into an already-built session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       vecDotDescriptor._1, vecDotDescriptor._2, vecDotDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      nfcNormalizeDescriptor._1, nfcNormalizeDescriptor._2, nfcNormalizeDescriptor._3)
+  }
 }

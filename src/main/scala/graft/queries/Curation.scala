@@ -242,11 +242,48 @@ object Curation {
       |FROM e JOIN s2 USING (label)
       |GROUP BY e.label, n_vecs, mean_q ORDER BY label""".stripMargin
 
+  // ----------------------------------------------------- text normalization
+  /** Unicode NFC normalization (graft.functions.NfcNormalize — native
+    * codegen; Spark has no built-in normalizer): canonical composition
+    * before any content-hash dedup/fingerprint step, so render-identical
+    * but byte-different strings ("é" precomposed vs e + combining acute)
+    * hash identically. The synthetic corpus is ASCII, so the query PREPENDS
+    * deterministic decomposed sequences (é as e+U+0301, ñ as n+U+0303) —
+    * the same injection discipline as pii_scrub; the operator under test is
+    * the normalize projection. Per-row, zero pre-sort shuffles; the oracle
+    * twin is DuckDB's nfc_normalize (both sides are UAX#15).
+    */
+  def textNormalize(spark: SparkSession, sf: String): DataFrame = {
+    def raw = concat(lit("Café niño "), substring(col("text"), 1, 24))
+    def norm = graft.functions.NfcNormalize.nfc_normalize(raw)
+    Tables.documents(spark, sf)
+      .select(
+        col("doc_id"),
+        norm.as("normalized"),
+        length(raw).cast("long").as("n_raw_chars"),
+        length(norm).cast("long").as("n_norm_chars"))
+      .withColumn("composed", col("n_raw_chars") - col("n_norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNormalizeSql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    'Café niño ' || substring(text, 1, 24) AS raw
+      |  FROM documents
+      |)
+      |SELECT doc_id, nfc_normalize(raw) AS normalized,
+      |  CAST(length(raw) AS BIGINT) AS n_raw_chars,
+      |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm_chars,
+      |  CAST(length(raw) AS BIGINT) - CAST(length(nfc_normalize(raw)) AS BIGINT) AS composed
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("dedup_keep_best", dedupKeepBest _, dedupKeepBestSql),
     ("token_diversity", tokenDiversity _, tokenDiversitySql),
     ("source_similarity", sourceSimilarity _, sourceSimilaritySql),
     ("domain_rebalance", domainRebalance _, domainRebalanceSql),
-    ("embedding_outliers", embeddingOutliers _, embeddingOutliersSql)
+    ("embedding_outliers", embeddingOutliers _, embeddingOutliersSql),
+    ("text_normalize", textNormalize _, textNormalizeSql)
   )
 }

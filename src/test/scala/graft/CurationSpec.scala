@@ -76,6 +76,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc_normalize: composes decomposed sequences, idempotent, null-safe, SQL == Column") {
+    import graft.functions.NfcNormalize.nfc_normalize
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq("Cafe\u0301", "plain ascii", "nin\u0303o", null.asInstanceOf[String]).toDF("s")
+    val viaCol = df.select(nfc_normalize(col("s")).as("n"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    df.createOrReplaceTempView("nfc_t")
+    val viaSql = spark.sql("SELECT nfc_normalize(s) AS n FROM nfc_t")
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(viaCol === viaSql)
+    assert(viaCol === Seq(Some("Caf\u00e9"), Some("plain ascii"), Some("ni\u00f1o"), None))
+    val twice = df.na.drop("all", Seq("s"))
+      .select(nfc_normalize(nfc_normalize(col("s"))).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice === viaCol.flatten)
+  }
+
+  test("text_normalize: composed count is exactly the two injected marks per row") {
+    val rows = Curation.textNormalize(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) === 2L) // composed = n_raw_chars - n_norm_chars
+      assert(r.getString(1).startsWith("Caf\u00e9 ni\u00f1o "))
+    }
+  }
+
   test("embedding_outliers: every vector accounted, rates consistent, flags match a local recompute") {
     val rows = Curation.embeddingOutliers(spark, Sf0001).collect()
     val emb = Tables.embeddings(spark, Sf0001)
