@@ -145,9 +145,79 @@ object EventAnalytics {
       |FROM events e JOIN cohort USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ------------------------------------------- interval join (batch twin)
+  /** Click→view attribution as a BATCH interval join — the oracle-checked
+    * twin of StreamOps.clickViewAttribution (§2.J7): each click matched to
+    * the same user's views in the preceding 30 minutes. The equi key
+    * (user_id) drives a hash/sort-merge join with the time bounds as join
+    * filters — never a BNLJ — so the shuffle is user-keyed at any scale.
+    */
+  def clickViewAttribution(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.events(spark, sf)
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    c.join(
+        v,
+        col("user_id") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  val clickViewAttributionSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+      |  c.ts AS click_ts, v.ts AS view_ts
+      |FROM events c JOIN events v
+      |  ON c.user_id = v.user_id
+      | AND c.event_type = 'click' AND v.event_type = 'view'
+      | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+      |ORDER BY click_id, view_id""".stripMargin
+
+  // --------------------------------------------------------- SCD2 history
+  /** Slowly-changing-dimension (type 2) history: collapse each user's event
+    * stream into [valid_from, valid_to) intervals of constant event_type —
+    * the warehouse change-history twin of the streaming change detector
+    * (§2.J6). Version starts are rows whose type differs from the previous
+    * row (lag); valid_to is the NEXT version start (lead over the filtered
+    * stream), null while current. Windows partition by user — the bounded
+    * unit of locality.
+    */
+  def scd2Intervals(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id"), col("event_type"), col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |), starts AS (
+      |  SELECT user_id, event_type, ts,
+      |    lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM marked
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT user_id, event_type, ts AS valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM starts ORDER BY user_id, valid_from, event_type""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("window_rolling_range", windowRollingRange _, windowRollingRangeSql),
     ("funnel_stages", funnelStages _, funnelStagesSql),
-    ("cohort_retention", cohortRetention _, cohortRetentionSql)
+    ("cohort_retention", cohortRetention _, cohortRetentionSql),
+    ("click_view_attribution", clickViewAttribution _, clickViewAttributionSql),
+    ("scd2_intervals", scd2Intervals _, scd2IntervalsSql)
   )
 }
