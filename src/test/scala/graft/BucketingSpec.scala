@@ -39,6 +39,41 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom-filter join pruning injects might_contain on the probe side") {
+    // Spark's runtime row-level filter (SPARK-32268): a bloom filter built
+    // from the small/filtered build side is pushed into the probe-side scan,
+    // cutting shuffled probe rows before the join — at 100 TB this is the
+    // difference between shuffling the full fact table and a sliver of it.
+    // Size thresholds are tuned for real clusters; drop them so the tiny
+    // fixture triggers the same plan rewrite the big cluster would see.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ord = Tables.orders(spark, Sf0001)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = Tables.lineitem(spark, Sf0001).select("l_orderkey", "l_quantity")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString()
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${optimized.take(1500)}")
+      // and the rewrite must not change results
+      val expected = li.join(
+        Tables.orders(spark, Sf0001)
+          .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SQL surface: raw spark.sql over registered views matches the DSL query") {
     graft.api.SqlSurface.registerViews(spark, Sf0001)
     val viaSql = spark
