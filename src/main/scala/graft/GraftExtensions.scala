@@ -24,11 +24,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity mismatch surfaces as the same WRONG_NUM_ARGS AnalysisException
+    * Spark built-ins raise (SQL callers get a categorized 42605 analysis
+    * error, not an uncategorized runtime throwable).
+    */
+  private def wrongNumArgs(fn: String, expected: Int, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$fn`",
+        "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
   private def buildVecDot(children: Seq[Expression]): Expression = children match {
     case Seq(a, b) => VecDot(a, b)
-    case other =>
-      throw new IllegalArgumentException(
-        s"vec_dot expects exactly 2 arguments, got ${other.size}")
+    case other => wrongNumArgs("vec_dot", 2, other.size)
   }
 
   /** (name, info, builder) triple in the shape injectFunction expects. */
@@ -52,9 +63,7 @@ object GraftExtensions {
       ""),
     {
       case Seq(s) => NfcNormalize(s)
-      case other =>
-        throw new IllegalArgumentException(
-          s"nfc_normalize expects exactly 1 argument, got ${other.size}")
+      case other => wrongNumArgs("nfc_normalize", 1, other.size)
     })
 
   /** Register into an already-built session (tests, notebooks). */

@@ -156,7 +156,6 @@ object Curation {
     * portable.
     */
   def domainRebalance(spark: SparkSession, sf: String): DataFrame = {
-    val wAll = Window.partitionBy()
     Tables.documents(spark, sf)
       .withColumn("n_tokens", tokCount)
       .groupBy(col("source"))

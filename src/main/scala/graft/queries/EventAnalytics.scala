@@ -63,24 +63,41 @@ object EventAnalytics {
 
   // ------------------------------------------------------------- funnel
   /** Ordered funnel: per user, the deepest stage of view → click →
-    * purchase reached IN ORDER (a click before the first view doesn't
-    * count), then the user count and share per stage. One user-keyed
-    * aggregation (min event time per type via conditional min) + a 4-row
-    * post-agg share window — the classic conversion-funnel shape.
+    * purchase reached IN ORDER — t_click is the first click STRICTLY AFTER
+    * the first view (a click at-or-before it doesn't count, and a later
+    * in-order click still does), t_purchase the first purchase strictly
+    * after that click. Three chained whole-partition window minima over the
+    * user key (ONE user-keyed exchange reused by all three — each min's
+    * predicate reads the previous min, which conditional aggregation can't
+    * nest in a single groupBy pass), collapsed to one row per user, then a
+    * 4-row post-agg share window.
+    *
+    * (Round-5 shipped the min-time approximation — min(ts) per type with an
+    * ordering check on the minima — which mis-staged a user whose only
+    * in-order click came after an early stray click; ADVICE r5 item 1.)
     */
   def funnelStages(spark: SparkSession, sf: String): DataFrame = {
     val wAll = Window.partitionBy()
+    val wu = Window.partitionBy(col("user_id"))
     Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view", min(when(col("event_type") === "view", col("ts"))).over(wu))
+      .withColumn(
+        "t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(wu))
+      .withColumn(
+        "t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(wu))
       .groupBy(col("user_id"))
       .agg(
-        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
-        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
-        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        min(col("t_view")).as("t_view"),
+        min(col("t_click")).as("t_click"),
+        min(col("t_purchase")).as("t_purchase"))
       .withColumn(
         "stage",
         when(col("t_view").isNull, "0_none")
-          .when(col("t_click").isNull || !(col("t_click") > col("t_view")), "1_view")
-          .when(col("t_purchase").isNull || !(col("t_purchase") > col("t_click")), "2_click")
+          .when(col("t_click").isNull, "1_view")
+          .when(col("t_purchase").isNull, "2_click")
           .otherwise("3_purchase"))
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_users"))
@@ -91,17 +108,30 @@ object EventAnalytics {
   }
 
   val funnelStagesSql: String =
-    """WITH per_user AS (
-      |  SELECT user_id,
-      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-      |  FROM events GROUP BY user_id
+    """WITH w1 AS (
+      |  SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_view
+      |  FROM events
+      |), w2 AS (
+      |  SELECT user_id, event_type, ts, t_view,
+      |    min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_click
+      |  FROM w1
+      |), w3 AS (
+      |  SELECT user_id, t_view, t_click,
+      |    min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_purchase
+      |  FROM w2
+      |), per_user AS (
+      |  SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+      |    min(t_purchase) AS t_purchase
+      |  FROM w3 GROUP BY user_id
       |), staged AS (
       |  SELECT CASE
       |    WHEN t_view IS NULL THEN '0_none'
-      |    WHEN t_click IS NULL OR NOT (t_click > t_view) THEN '1_view'
-      |    WHEN t_purchase IS NULL OR NOT (t_purchase > t_click) THEN '2_click'
+      |    WHEN t_click IS NULL THEN '1_view'
+      |    WHEN t_purchase IS NULL THEN '2_click'
       |    ELSE '3_purchase' END AS stage
       |  FROM per_user
       |)
@@ -195,7 +225,11 @@ object EventAnalytics {
       .select(
         col("user_id"), col("event_type"), col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+      // valid_to as final tiebreaker: (user_id, valid_from, event_type) is
+      // not total when two same-type version starts share one timestamp —
+      // latent on current fixtures (zero (user_id, ts) ties) but the
+      // positional compare would report spurious mismatches if data grew one
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"), col("valid_to"))
   }
 
   val scd2IntervalsSql: String =
@@ -211,7 +245,7 @@ object EventAnalytics {
       |)
       |SELECT user_id, event_type, ts AS valid_from, valid_to,
       |  valid_to IS NULL AS is_current
-      |FROM starts ORDER BY user_id, valid_from, event_type""".stripMargin
+      |FROM starts ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("window_rolling_range", windowRollingRange _, windowRollingRangeSql),
