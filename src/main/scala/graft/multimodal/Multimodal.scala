@@ -8,12 +8,19 @@ import graft.Tables
   * opaque `binary` columns plus typed metadata, processed partition-wise in
   * fixed-size batches — the Scala analog of an Arrow-batched decode UDF.
   *
-  * The actual media decode is a STUB (no image/audio libraries exist in
-  * this container): [[decodeStub]] derives deterministic fake dimensions
-  * from the bytes. Everything around it — schema, binary encoding,
-  * partition-wise batch iteration, metadata struct shape — is the real
-  * Spark plumbing a production decode would use, and is what the tests
-  * cover. Swapping [[decodeStub]] for a real codec changes no plan shape.
+  * The image path is a REAL codec round-trip (VERDICT r5 item 4): the
+  * synthetic frame renders each image row as an actual PNG
+  * (BufferedImage → ImageIO.write, executor-side, deterministic size
+  * derived from the document), and the decode slot parses the container
+  * back with javax.imageio — so `width`/`height` in the metadata come from
+  * the PNG header, not from arithmetic on the payload length. The oracle
+  * checks the decoded dimensions against the generation formula recomputed
+  * in SQL; the PNG byte stream itself (length, checksum) is not
+  * SQL-expressible and is ScalaTest-covered instead (MultimodalSpec).
+  *
+  * The audio path has no codec in this container and stays a header-stub:
+  * payload = UTF-8 text bytes, no decoded dimensions (NULL) — the shape a
+  * real audio header parse would fill in the same mapPartitions slot.
   */
 object Multimodal {
 
@@ -27,30 +34,66 @@ object Multimodal {
       doc_id: Long,
       media_type: String,
       byte_len: Long,
-      width: Int,
-      height: Int,
+      width: Option[Int],
+      height: Option[Int],
       checksum_md5: String)
 
   /** Batch size for partition-wise decode (Arrow-batch-shaped). */
   val DecodeBatchSize = 64
 
-  /** STUB decode ??? — deterministic fake in lieu of a real codec:
-    * "width/height" are derived from the payload length. A real
-    * implementation would parse the container header here.
+  /** Deterministic image dimensions for doc fields: the GENERATION formula
+    * the oracle recomputes in SQL and the decoded PNG header must agree
+    * with. Small sizes keep the sf0.1 frame (≈2.5 k PNGs) cheap.
     */
-  def decodeStub(bytes: Array[Byte]): (Int, Int) =
-    (1 + (bytes.length % 640), 1 + (bytes.length % 480))
+  def imageDims(nChars: Long): (Int, Int) =
+    (1 + (nChars % 64).toInt, 1 + (nChars % 48).toInt)
 
-  /** Synthesize a media table from documents: payload = UTF-8 bytes of the
-    * text, media_type derived deterministically from n_chars parity.
+  /** Render a real PNG: deterministic pixel pattern (doc-seeded), encoded
+    * through javax.imageio — runs on executors, headless-safe.
     */
-  def syntheticMedia(spark: SparkSession, sf: String): DataFrame =
+  def makePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Parse a PNG container back to (width, height) — the real decode the
+    * batched slot runs for image rows.
+    */
+  def decodePng(bytes: Array[Byte]): (Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    (img.getWidth, img.getHeight)
+  }
+
+  /** Synthesize a media table from documents: even-n_chars rows become real
+    * PNG payloads (image), odd rows keep UTF-8 text bytes (audio stand-in).
+    * The render is a typed map on executors — the same slot a real ingest
+    * fills by reading media files alongside the metadata scan.
+    */
+  def syntheticMedia(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
     Tables
       .documents(spark, sf)
-      .select(
-        col("doc_id"),
-        when(col("n_chars") % 2 === 0, "image").otherwise("audio").as("media_type"),
-        col("text").cast("binary").as("content"))
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("text"))
+      .as[(Long, Long, String)]
+      .map { case (docId, nChars, text) =>
+        if (nChars % 2 == 0) {
+          val (w, h) = imageDims(nChars)
+          (docId, "image", makePng(w, h, docId))
+        } else (docId, "audio", text.getBytes("UTF-8"))
+      }
+      .toDF("doc_id", "media_type", "content")
+  }
 
   /** Partition-wise, batched metadata extraction over the binary column.
     * Runs on executors; no data moves to the driver; batches bound peak
@@ -59,48 +102,52 @@ object Multimodal {
     * Division of labor: everything a built-in can compute stays in Catalyst
     * (md5 / octet_length are codegen'd expressions in the projection below —
     * never re-implemented inside the lambda); the mapPartitions step exists
-    * ONLY for the codec call a built-in cannot express. Plan shape is
-    * scan → project(built-ins) → DeserializeToObject → MapPartitions: one
-    * pipeline, no shuffle.
+    * ONLY for the codec call a built-in cannot express — ImageIO header
+    * parse for images, nothing (NULL dims) for the codec-less audio rows.
+    * Plan shape is scan → project(built-ins) → DeserializeToObject →
+    * MapPartitions: one pipeline, no shuffle.
     */
   def extractMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media
       .withColumn("byte_len", octet_length(col("content")).cast("long"))
       .withColumn("checksum_md5", md5(col("content")))
+      .select(col("doc_id"), col("media_type"), col("content"), col("byte_len"), col("checksum_md5"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.grouped(DecodeBatchSize).flatMap { batch =>
           batch.map { r =>
-            val (w, h) = decodeStub(r.content)
-            MediaMeta(r.doc_id, r.media_type, r.byte_len, w, h, r.checksum_md5)
+            val dims = if (r.media_type == "image") Some(decodePng(r.content)) else None
+            MediaMeta(r.doc_id, r.media_type, r.byte_len, dims.map(_._1), dims.map(_._2), r.checksum_md5)
           }
         }
       }
       .toDF()
   }
 
-  /** Oracle-checkable registration: synthetic media → batched decode →
-    * metadata, ordered. The oracle replays the stub arithmetic over
-    * octet_length and md5 in SQL — same math, engine-neutral.
+  /** Oracle-checkable registration: synthetic media → batched PNG decode →
+    * decoded dimensions, ordered. The oracle recomputes the generation
+    * formula from the documents table — a mismatch means the real
+    * encode/decode round-trip disagreed with the spec.
     */
   def multimodalMeta(spark: SparkSession, sf: String): DataFrame =
-    extractMeta(spark, syntheticMedia(spark, sf)).orderBy(col("doc_id"))
+    extractMeta(spark, syntheticMedia(spark, sf))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"))
+      .orderBy(col("doc_id"))
 
   val multimodalMetaSql: String =
     """SELECT doc_id,
       |  CASE WHEN n_chars % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      |  CAST(1 + octet_length(encode(text)) % 640 AS INT) AS width,
-      |  CAST(1 + octet_length(encode(text)) % 480 AS INT) AS height,
-      |  md5(text) AS checksum_md5
+      |  CASE WHEN n_chars % 2 = 0 THEN CAST(1 + n_chars % 64 AS INT) END AS width,
+      |  CASE WHEN n_chars % 2 = 0 THEN CAST(1 + n_chars % 48 AS INT) END AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Resize planning (image path): target box 256×256, aspect preserved.
-    * All-integer arithmetic ((dim·256) div max(w,h)) so both engines agree
-    * exactly — a real resize kernel would consume (out_w, out_h) per batch
-    * in [[extractMeta]]'s mapPartitions slot; the PLANNING of sizes is pure
-    * relational projection and stays in codegen.
+    * The input dimensions are the REAL decoded PNG header values; the
+    * arithmetic ((dim·256) div max(w,h)) is all-integer so both engines
+    * agree exactly — a real resize kernel would consume (out_w, out_h) per
+    * batch in [[extractMeta]]'s mapPartitions slot; the PLANNING of sizes
+    * is pure relational projection and stays in codegen.
     */
   def multimodalResize(spark: SparkSession, sf: String): DataFrame =
     extractMeta(spark, syntheticMedia(spark, sf))
@@ -119,15 +166,15 @@ object Multimodal {
       |  CAST(height AS BIGINT) * 256 // greatest(width, height) AS out_h
       |FROM (
       |  SELECT doc_id,
-      |    CAST(1 + octet_length(encode(text)) % 640 AS INT) AS width,
-      |    CAST(1 + octet_length(encode(text)) % 480 AS INT) AS height
+      |    CAST(1 + n_chars % 64 AS INT) AS width,
+      |    CAST(1 + n_chars % 48 AS INT) AS height
       |  FROM documents WHERE n_chars % 2 = 0
       |) ORDER BY doc_id""".stripMargin
 
-  /** Frame sampling (video path): duration derived deterministically from
-    * the payload (stub for container-header parsing), 4 fps, every 8th
-    * frame. The sample positions are a per-row Generate — zero shuffles,
-    * exactly the shape a real frame extractor feeds batch-wise.
+  /** Frame sampling (time-indexed path): duration derived deterministically
+    * from the payload (header-stub for the codec-less modality), 4 fps,
+    * every 8th frame. The sample positions are a per-row Generate — zero
+    * shuffles, exactly the shape a real frame extractor feeds batch-wise.
     */
   def multimodalFrameSample(spark: SparkSession, sf: String): DataFrame =
     syntheticMedia(spark, sf)

@@ -330,6 +330,58 @@ object TextOps {
        |SELECT v AS doc_id, lbl AS cluster_id FROM labels$CcRounds ORDER BY doc_id""".stripMargin
   }
 
+  /** Loop-until-fixpoint connected components — the 100 TB form of
+    * [[dedupClusters]] (VERDICT r5 item 6). Same output contract
+    * (doc_id, cluster_id = min reachable id); the round count is driven by
+    * convergence instead of the fixed oracle-expressible unroll, so a
+    * deeper-than-[[CcRounds]]-hop chain merges fully instead of silently
+    * under-merging. Each round's labels are localCheckpoint-materialized —
+    * without the cut, round r's lineage re-executes all prior rounds per
+    * consumer (the 2^rounds blowup documented on [[dedupClusters]]) — and
+    * the convergence probe is one count of changed labels (never a
+    * collect). `maxRounds` bounds the loop against a pathological corpus;
+    * hitting it raises rather than returning non-converged labels.
+    */
+  def connectedComponentsFixpoint(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val next = edges
+        .join(labels, col("src") === col("v"))
+        .groupBy(col("dst"))
+        .agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("v"), col("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("v"), col("lbl").as("prev")), "v")
+        .where(col("lbl") =!= col("prev"))
+        .count()
+      labels = next
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge within $maxRounds rounds")
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** [[dedupClusters]] with the fixpoint loop over the same MinHash-LSH
+    * candidate pairs — TextOpsAltSpec pins it equal to the unrolled oracle
+    * form at sf0.001/0.01 and strictly better on a synthetic deep chain.
+    */
+  def dedupClustersFixpoint(spark: SparkSession, sf: String): DataFrame =
+    connectedComponentsFixpoint(
+      Tables.documents(spark, sf).select(col("doc_id")),
+      minhashCandidatePairs(spark, sf).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------- north star: LSH, zero-shuffle form
   /** MinHash-LSH with the signature computed as a PER-ROW fold instead of
     * explode + groupBy: zero extra rows, O(1) state per doc, no Generate.

@@ -34,6 +34,30 @@ object Vectors {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
 
+  /** Input-size bound for the deliberate O(n²) all-pairs operators
+    * (knn_brute_force / cosine_topk / dedup_embedding_cosine). They exist
+    * as oracle-calibration baselines for the bucketed scale paths
+    * (knn_lsh_bucketed / ann_ivf / dedup_embedding_lsh); above this bound
+    * the pair space exceeds ~0.5×10¹² and no cluster should reach the path
+    * by accident (VERDICT r5 item 5). Raise explicitly to opt in.
+    */
+  val AllPairsMaxRowsConf = "spark.graft.allPairs.maxRows"
+  private val AllPairsMaxRowsDefault = 1000000L
+
+  /** Runtime guard: one metadata-cheap count of the (tiny-schema) input,
+    * refused with an actionable error above the bound. The count is the
+    * only action — nothing is collected.
+    */
+  private def guardAllPairs(spark: SparkSession, input: DataFrame, op: String): Unit = {
+    val bound = spark.conf.getOption(AllPairsMaxRowsConf)
+      .map(_.toLong).getOrElse(AllPairsMaxRowsDefault)
+    val n = input.count()
+    if (n > bound) throw new IllegalStateException(
+      s"$op is an O(n²) all-pairs oracle-calibration operator; its input has " +
+        s"$n rows > $AllPairsMaxRowsConf=$bound. Use the bucketed scale path " +
+        "(knn_lsh_bucketed / ann_ivf / dedup_embedding_lsh), or raise the bound to opt in.")
+  }
+
   // ---------------------------------------------------------------- §2.I8
   /** Brute-force kNN: all-pairs dot product, global top-20.
     *
@@ -48,6 +72,7 @@ object Vectors {
     */
   def knnBruteForce(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(spark, sf)
+    guardAllPairs(spark, e.select(col("vec_id")), "knn_brute_force")
     val a = Det.spreadSmallScan(spark, e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -68,6 +93,7 @@ object Vectors {
     * correctly-rounded, division exact → deterministic.
     */
   def cosineTopk(spark: SparkSession, sf: String): DataFrame = {
+    guardAllPairs(spark, Tables.embeddings(spark, sf).select(col("vec_id")), "cosine_topk")
     val e = Tables
       .embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
@@ -109,6 +135,7 @@ object Vectors {
     */
   def dedupEmbeddingCosine(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    guardAllPairs(spark, Tables.embeddings(spark, sf).select(col("vec_id")), "dedup_embedding_cosine")
     val e = Tables
       .embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
@@ -378,54 +405,52 @@ object Vectors {
     * in docs/BENCH_NOTES.md rather than hidden by caching model state
     * across bench iterations (which would measure neither regime honestly).
     */
-  def annIvf(spark: SparkSession, sf: String): DataFrame = {
+  /** Trained coarse quantizer: k deterministic k-means cells (cell, cvec).
+    * init: cell i = embedding of the i-th lowest vec_id (float→double per
+    * element — exact), i = 1..k. orderBy().limit() plans as
+    * TakeOrderedAndProject (per-partition top-k, no global sort); the
+    * round-4 form ranked the ENTIRE corpus through one unpartitioned
+    * window to keep 8 rows. The row_number window below runs over the
+    * k-row result only — bounded by construction.
+    */
+  private def trainCells(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(spark, sf)
-    // init: cell i = embedding of the i-th lowest vec_id (float→double per
-    // element — exact), i = 1..k. orderBy().limit() plans as
-    // TakeOrderedAndProject (per-partition top-k, no global sort); the
-    // round-4 form ranked the ENTIRE corpus through one unpartitioned
-    // window to keep 8 rows. The row_number window below runs over the
-    // k-row result only — bounded by construction.
     val init = emb
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id"))
       .limit(IvfK)
       .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
       .select(col("cell"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
-    // Materialize the trained cells (k rows × dim doubles — model state,
-    // not data): iterative training lineage otherwise re-executes once per
-    // downstream consumer (measured: 8 parquet scans / 23 windows in the
-    // un-truncated plan). localCheckpoint is the idiomatic Spark move for
-    // iterative refinement — spark.ml's own KMeans materializes centroids
-    // every iteration — and at 100 TB this boundary is exactly where the
-    // trained coarse quantizer would be persisted alongside the index.
-    val cells = (1 to IvfIters).foldLeft(init)((c, _) => kmeansStep(emb, c))
-      .localCheckpoint()
-    // ONE top-2 assignment pass serves both sides: rank-1 rows form the
-    // inverted file for every corpus vector, rank ≤ 2 rows of the query
-    // subset are its probes — the k-means chain and its broadcast are
-    // planned once instead of twice.
+    (1 to IvfIters).foldLeft(init)((c, _) => kmeansStep(emb, c))
+  }
+
+  /** ONE top-2 assignment pass serves both index sides: rank-1 rows form
+    * the inverted file for every corpus vector, rank ≤ 2 rows of the query
+    * subset are its probes — the k-means chain and its broadcast are
+    * planned once instead of twice.
+    */
+  private def assignTop2(emb: DataFrame, cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ecDot = expr(
       "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)")
-    // ... and the assignment table is materialized too: it IS the IVF
-    // index (cell → members), the artifact a production system persists
-    // once per corpus; without this its two consumers below re-run the
-    // assignment pass each.
-    val assigned2 = emb
-      .crossJoin(broadcast(cells))
+    emb
+      .crossJoin(broadcast(cells.select(col("cell"), col("cvec"))))
       .withColumn("ec_dot", ecDot)
       .withColumn(
         "rn",
         row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ec_dot").desc, col("cell").asc)))
       .where(col("rn") <= 2)
       .select(col("rn"), col("cell"), col("vec_id"), col("embedding"))
-      .localCheckpoint()
+  }
+
+  /** Probe-2 search over a materialized top-2 assignment table. */
+  private def probeAssigned(assigned2: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val inverted = assigned2
       .where(col("rn") === 1)
       .select(col("cell"), col("vec_id"), col("embedding"))
     val probed = assigned2
-      .where(col("vec_id") < 10)
+      .where(col("rn") <= 2 && col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("cell"))
     probed
       .join(inverted, Seq("cell"))
@@ -437,6 +462,59 @@ object Vectors {
       .where(col("rank") <= 3)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id").as("neighbor"), col("dot"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  def annIvf(spark: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sf)
+    // Materialize the trained cells (k rows × dim doubles — model state,
+    // not data): iterative training lineage otherwise re-executes once per
+    // downstream consumer (measured: 8 parquet scans / 23 windows in the
+    // un-truncated plan). localCheckpoint is the idiomatic Spark move for
+    // iterative refinement — spark.ml's own KMeans materializes centroids
+    // every iteration. ann_ivf_probe persists the same two boundaries as
+    // parquet — the production artifact split.
+    val cells = trainCells(emb).localCheckpoint()
+    // ... and the assignment table is materialized too: it IS the IVF
+    // index (cell → members), the artifact a production system persists
+    // once per corpus; without this its two consumers below re-run the
+    // assignment pass each.
+    val assigned2 = assignTop2(emb, cells).localCheckpoint()
+    probeAssigned(assigned2)
+  }
+
+  /** The persisted-index regime of [[annIvf]] (VERDICT r5 item 3): BUILD
+    * writes the trained cells and the top-2 assignment table — the coarse
+    * quantizer and the inverted file, the two artifacts a 100 TB
+    * deployment ships per corpus version — to parquet ONCE per (sf,
+    * library version); PROBE reads the assignment table and runs only the
+    * probe-2 join. Identical output to ann_ivf (training is fully
+    * deterministic), so it registers under the SAME oracle; the bench line
+    * for this query is steady-state query latency, while ann_ivf's stays
+    * train+build+query end-to-end.
+    */
+  def buildIvfIndex(spark: SparkSession, sf: String): String = {
+    val dir = ivfIndexDir(sf)
+    val emb = Tables.embeddings(spark, sf)
+    val cells = trainCells(emb).localCheckpoint()
+    cells.write.mode("overwrite").parquet(s"$dir/cells")
+    assignTop2(emb, cells).write.mode("overwrite").parquet(s"$dir/assigned")
+    dir
+  }
+
+  /** Index location: one directory per scale-factor dir under the JVM temp
+    * root. The `v1` tag versions the index FORMAT — bump it when the
+    * training recipe changes so a stale on-disk index can never serve a
+    * newer probe.
+    */
+  private def ivfIndexDir(sf: String): String = {
+    val tag = sf.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_v1/$tag"
+  }
+
+  def annIvfProbe(spark: SparkSession, sf: String): DataFrame = {
+    val marker = new java.io.File(s"${ivfIndexDir(sf)}/assigned/_SUCCESS")
+    val dir = if (marker.exists()) ivfIndexDir(sf) else buildIvfIndex(spark, sf)
+    probeAssigned(spark.read.parquet(s"$dir/assigned"))
   }
 
   val annIvfSql: String = {
@@ -542,6 +620,8 @@ object Vectors {
     ("knn_lsh_bucketed", knnLshBucketed _, knnLshBucketedSql),
     ("agg_vector_centroid", aggVectorCentroid _, aggVectorCentroidSql),
     ("ann_ivf", annIvf _, annIvfSql),
+    // identical deterministic output by construction — same oracle
+    ("ann_ivf_probe", annIvfProbe _, annIvfSql),
     ("embedding_quantize", embeddingQuantize _, embeddingQuantizeSql)
   )
 }

@@ -82,6 +82,36 @@ class ExtrasSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.6, s"IVF recall@3 = $ivfRecall")
   }
 
+  test("ann_ivf_probe: build persists cells + inverted file, probe output == in-query training output") {
+    import graft.queries.Vectors
+    val dir = Vectors.buildIvfIndex(spark, Sf0001)
+    // both model artifacts on disk: coarse quantizer + top-2 assignment table
+    assert(new java.io.File(s"$dir/cells/_SUCCESS").exists())
+    assert(new java.io.File(s"$dir/assigned/_SUCCESS").exists())
+    assert(spark.read.parquet(s"$dir/cells").count() > 0)
+    val probe = Vectors.annIvfProbe(spark, Sf0001).collect().map(_.toSeq)
+    val full = Vectors.annIvf(spark, Sf0001).collect().map(_.toSeq)
+    assert(probe === full)
+  }
+
+  test("all-pairs guard: brute-force paths refuse inputs above spark.graft.allPairs.maxRows") {
+    import graft.queries.Vectors
+    spark.conf.set(Vectors.AllPairsMaxRowsConf, "10")
+    try {
+      Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+        ("knn_brute_force", Vectors.knnBruteForce _),
+        ("cosine_topk", Vectors.cosineTopk _),
+        ("dedup_embedding_cosine", Vectors.dedupEmbeddingCosine _)
+      ).foreach { case (name, fn) =>
+        val e = intercept[IllegalStateException](fn(spark, Sf0001))
+        assert(e.getMessage.contains("allPairs.maxRows"), name)
+        assert(e.getMessage.contains(name), name)
+      }
+      // the bucketed scale paths stay open under the same bound
+      assert(Vectors.knnLshBucketed(spark, Sf0001).count() > 0)
+    } finally spark.conf.unset(Vectors.AllPairsMaxRowsConf)
+  }
+
   test("embedding-LSH dedup emits only true >=0.4 pairs and finds most of them") {
     import graft.queries.Vectors
     def pairSet(df: org.apache.spark.sql.DataFrame) =

@@ -7,22 +7,38 @@ import SharedSpark._
 
 class MultimodalSpec extends AnyFunSuite {
 
-  test("synthetic media carries a real binary column") {
+  test("synthetic media carries a real binary column; image rows are real PNG containers") {
     val m = Multimodal.syntheticMedia(spark, Sf0001)
     assert(m.schema("content").dataType.typeName === "binary")
     assert(m.count() === 500)
+    // PNG magic: every image payload starts \x89PNG\r\n\x1a\n
+    val badMagic = m.where(col("media_type") === "image")
+      .where(hex(expr("substring(content, 1, 8)")) =!= "89504E470D0A1A0A")
+      .count()
+    assert(badMagic === 0)
   }
 
-  test("partition-batched decode emits one metadata row per payload") {
+  test("decoded PNG header dimensions equal the generation formula, audio rows have no dims") {
     val meta = Multimodal.extractMeta(spark, Multimodal.syntheticMedia(spark, Sf0001))
     assert(meta.count() === 500)
-    // stub arithmetic holds row-wise
-    val bad = meta
-      .where(
-        col("width") =!= (col("byte_len") % 640 + 1).cast("int") ||
-          col("height") =!= (col("byte_len") % 480 + 1).cast("int"))
-      .count()
-    assert(bad === 0)
+    val dims = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        (col("n_chars") % 2 === 0).as("is_image"),
+        (col("n_chars") % 64 + 1).cast("int").as("w"),
+        (col("n_chars") % 48 + 1).cast("int").as("h"))
+    val joined = meta.join(dims, "doc_id")
+    assert(joined.where(col("is_image") &&
+      (col("width") =!= col("w") || col("height") =!= col("h"))).count() === 0)
+    assert(joined.where(!col("is_image") &&
+      (col("width").isNotNull || col("height").isNotNull)).count() === 0)
+    assert(joined.where(col("is_image")).count() > 0)
+  }
+
+  test("encode/decode round-trip is lossless on a known image") {
+    val bytes = Multimodal.makePng(37, 21, seed = 42L)
+    assert(Multimodal.decodePng(bytes) === ((37, 21)))
+    // deterministic encode: same inputs, same container bytes
+    assert(java.util.Arrays.equals(bytes, Multimodal.makePng(37, 21, seed = 42L)))
   }
 
   test("decode runs distributed: plan has no driver-side collect") {
@@ -32,12 +48,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), plan.take(500))
   }
 
-  test("checksum matches Spark's own md5 of the same bytes") {
+  test("checksum and byte_len describe the actual payload bytes") {
     val meta = Multimodal.extractMeta(spark, Multimodal.syntheticMedia(spark, Sf0001))
+    // audio rows: payload is the UTF-8 text, so md5/byte_len are recomputable
     val expected = Tables
       .documents(spark, Sf0001)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
-    val joined = meta.join(expected, "doc_id").where(col("checksum_md5") =!= col("m"))
-    assert(joined.count() === 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("m"),
+        octet_length(col("text").cast("binary")).cast("long").as("len"))
+    val audioBad = meta.where(col("media_type") === "audio").join(expected, "doc_id")
+      .where(col("checksum_md5") =!= col("m") || col("byte_len") =!= col("len"))
+    assert(audioBad.count() === 0)
+    // image rows: PNG stream is non-empty and checksum is well-formed hex
+    val imageBad = meta.where(col("media_type") === "image")
+      .where(col("byte_len") <= 8 || length(col("checksum_md5")) =!= 32)
+    assert(imageBad.count() === 0)
   }
 }

@@ -78,6 +78,25 @@ class TextOpsAltSpec extends AnyFunSuite {
     }
   }
 
+  test("fixpoint connected components == unrolled form on the corpus; converges past the unroll depth on a deep chain") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.TextOps
+    import spark.implicits._
+    // same output contract as the oracle-checked unroll on the real corpus
+    Seq(Sf0001, Sf001).foreach { sf =>
+      val unrolled = TextOps.dedupClusters(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val fixpoint = TextOps.dedupClustersFixpoint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(fixpoint === unrolled, s"sf=$sf")
+    }
+    // a 9-vertex chain needs 8 min-label hops — deeper than the CcRounds=4
+    // unroll can merge; the fixpoint loop must collapse it to one cluster
+    val docs = (1L to 9L).toDF("doc_id")
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = TextOps.connectedComponentsFixpoint(docs, chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels === (1L to 9L).map(_ -> 1L).toMap)
+  }
+
   test("df cap bounds the candidate-pair stream on a boilerplate-heavy corpus") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
