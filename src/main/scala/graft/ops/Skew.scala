@@ -54,4 +54,30 @@ object Skew {
       .agg(
         sum(col("__n")).as("n"),
         sum(col("__s")).cast("double").as("total"))
+
+  /** Salted shuffle JOIN for a skewed probe-side key — the replicate-build
+    * recipe for when the build side is too large to broadcast but small
+    * enough to replicate `buckets`-fold (the regime between broadcast-join
+    * and AQE's OptimizeSkewedJoin, which only splits partitions above its
+    * size threshold and does nothing for a hot key inside a small-ish
+    * shuffle).
+    *
+    * Probe rows get a deterministic content salt in [0, buckets); every
+    * build row is replicated once per salt value; the join key becomes
+    * (key, salt), so a hot key's probe rows spread over `buckets` reducers
+    * instead of landing on one. Inner equi-join semantics are unchanged:
+    * each probe row matches exactly the build rows it matched unsalted
+    * (same key, and its one salt value exists on every replica).
+    * Replication factor = buckets × |build| rows shuffled — size `buckets`
+    * to the observed per-reducer imbalance, not higher. The salt is the
+    * retry-safe content hash of [[contentSalt]] (see its scaladoc for why
+    * a nondeterministic salt corrupts results under task retry).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String, buckets: Int): DataFrame = {
+    val salted = probe.withColumn(
+      "__salt", contentSalt(buckets, probe.columns.map(col).toSeq: _*))
+    val replicated = build.withColumn(
+      "__salt", explode(expr(s"sequence(0L, ${buckets - 1}L)")))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }
