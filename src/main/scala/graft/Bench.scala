@@ -70,10 +70,19 @@ object Bench {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       df.count() // materialize now, not inside the first timed query
     }
+    // Dev-only subset filter: SPARK_GRAFT_ONLY=headline (the BASELINE.md
+    // 10-query suite) or a comma-separated query-name list. Used for quick
+    // local A/Bs; the driver never sets it. A filtered run does NOT write
+    // bench_out.json (the committed artifact stays full-suite-only).
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY").map {
+      case "headline" => headline.toSet
+      case csv => csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    }
+    val benchQueries = only.fold(SparkEntry.queries)(s => SparkEntry.queries.view.filterKeys(s).toMap)
     // Untimed warmup at sfDir: compiles the generated code (Janino) and JITs
     // the hot paths the timed passes will take, including AQE's re-planned
     // stages at this scale.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benchQueries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // A query that throws must be VISIBLE in the artifact, not timed as its
@@ -99,7 +108,7 @@ object Bench {
         catch { case t: Throwable => Some(t.getClass.getSimpleName) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val pass1 = SparkEntry.queries.map { case (name, fn) =>
+    val pass1 = benchQueries.map { case (name, fn) =>
       name -> (1 to iters).map(_ => timeOnce(fn))
     }
     // Rescue pass: ONE more iteration per query, a full suite-length after
@@ -175,7 +184,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"baseline10_total":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"cached":$cacheTables}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"cached":$cacheTables}"""
-    try {
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }

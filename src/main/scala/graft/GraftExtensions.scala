@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{NfcNormalize, VecDot}
+import graft.functions.{BloomContains, NfcNormalize, VecDot}
 
 /** Session extension (SURVEY §2.K4 surface): registers the library's native
   * functions into the SQL function registry, so the raw-SQL surface
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
+    ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
   }
 }
 
@@ -66,11 +67,27 @@ object GraftExtensions {
       case other => wrongNumArgs("nfc_normalize", 1, other.size)
     })
 
+  val bloomContainsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_contains"),
+    new ExpressionInfo(
+      classOf[BloomContains].getCanonicalName,
+      null,
+      "bloom_contains",
+      "bloom_contains(sketch, h) - probe a serialized Bloom filter (literal binary) for a bigint; " +
+        "false positives at the built fpp, false negatives never",
+      ""),
+    {
+      case Seq(s, h) => BloomContains(s, h)
+      case other => wrongNumArgs("bloom_contains", 2, other.size)
+    })
+
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       vecDotDescriptor._1, vecDotDescriptor._2, vecDotDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       nfcNormalizeDescriptor._1, nfcNormalizeDescriptor._2, nfcNormalizeDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bloomContainsDescriptor._1, bloomContainsDescriptor._2, bloomContainsDescriptor._3)
   }
 }

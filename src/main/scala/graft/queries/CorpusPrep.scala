@@ -368,6 +368,83 @@ object CorpusPrep {
       |  CAST(n_cross_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS cross_dup_rate
       |FROM agg ORDER BY source""".stripMargin
 
+  // ------------------------------------------- bloom-prefiltered dedup
+  /** Cross-corpus contamination screen with a Bloom-filter prefilter
+    * (SURVEY §2.L): which training docs share their 10-token prefix
+    * fingerprint with a held-out reference shard (doc_id % 10 == 0 — the
+    * "eval set")?
+    *
+    * Scale path: the reference shard's prefix hashes are folded into a
+    * driver-built [[org.apache.spark.util.sketch.BloomFilter]] (kilobytes)
+    * and shipped inside the plan as a literal; the full-corpus scan probes
+    * it with the codegen [[graft.functions.BloomContains]] expression. A
+    * row that fails the probe is DEFINITELY clean (Bloom has no false
+    * negatives) and never reaches the join; only the candidates — true
+    * hits + the fpp tail — are confirmed by the exact equi-join, so the
+    * result is exact while the join's shuffle shrinks from |corpus| to
+    * |hits| + fpp·|corpus|. At 100 TB that is the difference between
+    * shuffling the corpus and shuffling a rounding error of it; the same
+    * pattern serves eval-set decontamination, URL blocklists, and
+    * incremental-ingest dedup against an existing corpus.
+    *
+    * Oracle: the Bloom filter is invisible in the output (prefilter +
+    * exact confirm ≡ exact join), so plain SQL expresses the semantics.
+    */
+  def dedupBloomPrefilter(spark: SparkSession, sf: String): DataFrame = {
+    val pfx = array_join(
+      slice(filter(TextOps.tokensCol, t => t =!= lit("")), 1, 10), " ")
+    val docs = Tables.documents(spark, sf).select(
+      col("doc_id"), col("source"), pfx.as("pfx"))
+    val ref = docs.where(col("doc_id") % 10 === 0).select(col("pfx")).distinct()
+    // Driver-side sketch build (an aggregation job, like a broadcast-join
+    // build but returning kilobytes): capacity from a cheap count over the
+    // already-distinct reference prefixes, fpp 1% — candidates beyond the
+    // true hits cost only confirm-join work, never correctness.
+    // Build and probe must hash IDENTICALLY: both sides go through Spark's
+    // xxhash64(pfx) → long, inserted with putLong / probed with
+    // mightContainLong. (Inserting the string directly would use the
+    // sketch's own utf8 string hash — a different function, and probing
+    // such a filter with a long yields false NEGATIVES, i.e. missed hits.)
+    val sketch = ref.select(xxhash64(col("pfx")).as("h")).stat.bloomFilter(
+      col("h"), math.max(1024L, ref.count()), 0.01)
+    val sketchBytes = graft.functions.BloomContains.serialize(sketch)
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val candidates = corpus.where(
+      graft.functions.BloomContains.bloom_contains(lit(sketchBytes), xxhash64(col("pfx"))))
+    val confirmed = candidates
+      .join(ref, Seq("pfx"), "left_semi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    corpus
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(confirmed, Seq("source"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
+  /** The oracle never sees the Bloom filter (prefilter + exact confirm ≡
+    * exact join), so plain SQL expresses the semantics.
+    */
+  val dedupBloomPrefilterSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    array_to_string(list_slice(list_filter(string_split(lower(text), ' '), t -> t <> ''), 1, 10), ' ') AS pfx
+      |  FROM documents
+      |), ref AS (
+      |  SELECT DISTINCT pfx FROM d WHERE doc_id % 10 = 0
+      |), corpus AS (
+      |  SELECT * FROM d WHERE doc_id % 10 <> 0
+      |), hits AS (
+      |  SELECT c.source, COUNT(*) AS n_contaminated
+      |  FROM corpus c WHERE c.pfx IN (SELECT pfx FROM ref)
+      |  GROUP BY c.source
+      |)
+      |SELECT t.source, t.n_docs, COALESCE(h.n_contaminated, 0) AS n_contaminated
+      |FROM (SELECT source, COUNT(*) AS n_docs FROM corpus GROUP BY source) t
+      |LEFT JOIN hits h USING (source)
+      |ORDER BY t.source""".stripMargin
+
   // ----------------------------------------------------- token histogram
   /** Token-length histogram with fixed-width bins (width 10): the corpus
     * length profile a packing/filtering config is tuned against. Per-row
@@ -399,6 +476,7 @@ object CorpusPrep {
     ("length_quantile_filter", lengthQuantileFilter _, lengthQuantileFilterSql),
     ("shard_assignment", shardAssignment _, shardAssignmentSql),
     ("cross_source_dedup", crossSourceDedup _, crossSourceDedupSql),
+    ("dedup_bloom_prefilter", dedupBloomPrefilter _, dedupBloomPrefilterSql),
     ("token_histogram", tokenHistogram _, tokenHistogramSql)
   )
 }
