@@ -517,28 +517,37 @@ object Vectors {
     probeAssigned(spark.read.parquet(s"$dir/assigned"))
   }
 
-  val annIvfSql: String = {
-    // the oracle unrolls the same 2 Lloyd steps as CTE pairs; dot products
-    // are the identical left fold, means the identical fixed-point form
-    def cellDot(vec: String, cvec: String): String =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($vec) + 1), " +
-        s"i -> CAST($vec[i] AS DOUBLE) * $cvec[i])), (acc, x) -> acc + x)"
-    def assignCte(cellsRel: String): String =
-      s"""SELECT cell, vec_id, embedding FROM (
-         |    SELECT c.cell, e.vec_id, e.embedding,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${cellDot("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
-         |    FROM embeddings e CROSS JOIN $cellsRel c)
-         |  WHERE rn = 1""".stripMargin
-    def centCte(assignRel: String): String =
-      s"""SELECT cell, list(centroid ORDER BY pos) AS cvec FROM (
-         |    SELECT cell, i AS pos,
-         |      CAST(SUM(CAST(CAST(CAST(embedding[i + 1] AS DOUBLE) * 4503599627370496.0 AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
-         |        / (COUNT(*) * 4503599627370496.0) AS centroid
-         |    FROM $assignRel, (SELECT unnest(range(64)) AS i) dims
-         |    GROUP BY cell, i)
-         |  GROUP BY cell""".stripMargin
-    s"""WITH cells0 AS (
+  /** Oracle-side dot of a float list against a double centroid list — the
+    * identical left fold the Spark side uses. Shared by the annIvf and
+    * dedupSemantic oracles (both unroll the same deterministic k-means).
+    */
+  private def cellDot(vec: String, cvec: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($vec) + 1), " +
+      s"i -> CAST($vec[i] AS DOUBLE) * $cvec[i])), (acc, x) -> acc + x)"
+
+  private def assignCte(cellsRel: String): String =
+    s"""SELECT cell, vec_id, embedding FROM (
+       |    SELECT c.cell, e.vec_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cellDot("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN $cellsRel c)
+       |  WHERE rn = 1""".stripMargin
+
+  private def centCte(assignRel: String): String =
+    s"""SELECT cell, list(centroid ORDER BY pos) AS cvec FROM (
+       |    SELECT cell, i AS pos,
+       |      CAST(SUM(CAST(CAST(CAST(embedding[i + 1] AS DOUBLE) * 4503599627370496.0 AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+       |        / (COUNT(*) * 4503599627370496.0) AS centroid
+       |    FROM $assignRel, (SELECT unnest(range(64)) AS i) dims
+       |    GROUP BY cell, i)
+       |  GROUP BY cell""".stripMargin
+
+  /** The unrolled 2-Lloyd-step k-means CTE chain (cells0 → cells2), ending
+    * with the trained quantizer relation `cells2`. The oracle twin of
+    * [[trainCells]].
+    */
+  private def kmeansCellsCtes: String =
+    s"""cells0 AS (
        |  SELECT cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (
        |    SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding FROM embeddings)
        |  WHERE cell <= $IvfK
@@ -550,7 +559,12 @@ object Vectors {
        |  ${assignCte("cells1")}
        |), cells2 AS (
        |  ${centCte("assign2")}
-       |), assigned2 AS (
+       |)""".stripMargin
+
+  val annIvfSql: String = {
+    // the oracle unrolls the same 2 Lloyd steps as CTE pairs; dot products
+    // are the identical left fold, means the identical fixed-point form
+    s"""WITH $kmeansCellsCtes, assigned2 AS (
        |  SELECT rn, cell, vec_id, embedding FROM (
        |    SELECT c.cell, e.vec_id, e.embedding,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -572,6 +586,68 @@ object Vectors {
        |  FROM cand)
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
+
+  // ------------------------------------------------------ semantic dedup
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * cluster the embedding space with the SAME deterministic k-means
+    * coarse quantizer the IVF index trains, then search for near-duplicate
+    * pairs only WITHIN each cluster — cosine ≥ 0.4, the library-wide
+    * near-dup threshold — and drop every vector that has a lower-id
+    * near-neighbor (keep-lowest-id survivor, the dedup family convention).
+    * Output: one row per DROPPED vector with its cluster, its canonical
+    * keeper (lowest matching lower id) and its lower-id near-dup count.
+    *
+    * Scale posture: this is the semantic analog of dedup_embedding_lsh —
+    * the pair space shrinks from n² to Σ cell², with the cluster key as
+    * the ONE shuffle key; the cluster assignment is the same artifact the
+    * IVF index persists (buildIvfIndex), so a 100 TB deployment amortizes
+    * training across both ANN search and dedup. Unlike the LSH variant
+    * (random-hyperplane buckets can split a true near-dup pair across
+    * buckets), k-means cells follow the data's density, which is why
+    * SemDeDup clusters rather than hashes.
+    */
+  def dedupSemantic(spark: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sf)
+    val cells = trainCells(emb).localCheckpoint()
+    // Top-2 multi-probe membership, exactly like the IVF search side: a
+    // near-dup pair is examined if the two vectors share EITHER of their
+    // two closest cells. Single-assignment recall at small cell counts is
+    // poor (measured 0.31 at sf0.001 — boundary pairs split); probe-2
+    // recovers it the same way it lifts IVF recall@3 to 0.83+.
+    val member = assignTop2(emb, cells)
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+    val a = member.select(
+      col("cell"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = member.select(
+      col("cell"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) >= 0.4)
+      // a pair sharing both probe cells appears twice — countDistinct, not
+      // count, and the grouping collapses the duplicates
+      .groupBy(col("vec_b"))
+      .agg(min(col("vec_a")).as("kept_by"), countDistinct(col("vec_a")).as("n_lower_dups"))
+      .select(col("vec_b").as("vec_id"), col("kept_by"), col("n_lower_dups"))
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH $kmeansCellsCtes, member AS (
+       |  SELECT cell, vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM (
+       |    SELECT c.cell, e.vec_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cellDot("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cells2 c)
+       |  WHERE rn <= 2
+       |)
+       |SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS kept_by,
+       |  COUNT(DISTINCT a.vec_id) AS n_lower_dups
+       |FROM member a JOIN member b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.4
+       |GROUP BY b.vec_id
+       |ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------- quantization
   /** L2-normalize + symmetric int8 quantization of the embedding column —
@@ -622,6 +698,7 @@ object Vectors {
     ("ann_ivf", annIvf _, annIvfSql),
     // identical deterministic output by construction — same oracle
     ("ann_ivf_probe", annIvfProbe _, annIvfSql),
-    ("embedding_quantize", embeddingQuantize _, embeddingQuantizeSql)
+    ("embedding_quantize", embeddingQuantize _, embeddingQuantizeSql),
+    ("dedup_semantic", dedupSemantic _, dedupSemanticSql)
   )
 }

@@ -142,6 +142,37 @@ class ExtrasSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH dedup recall = $recall over ${exactDups.size} dups")
   }
 
+  test("dedup_semantic: soundness (true >=0.4 pairs, kept_by < vec_id) and probe-2 recall vs all-pairs") {
+    import graft.queries.Vectors
+    val got = Vectors.dedupSemantic(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "degenerate fixture: no semantic dups at sf0.001")
+    // exact all-pairs >=0.4 dup set (lower-id-neighbor convention)
+    val e = Tables.embeddings(spark, Sf0001)
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      sqrt(graft.functions.VecDot.vec_dot(col("embedding"), col("embedding"))).as("norm"))
+    val exactDropped = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+      .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b")),
+        col("vec_a") < col("vec_b"))
+      .where((graft.functions.VecDot.vec_dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))) >= 0.4)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactDropSet = exactDropped.map(_._2).toSet
+    // soundness: every reported (kept_by, vec_id) is a true >=0.4 pair and
+    // kept_by is a genuinely lower id
+    val exactPairSet = exactDropped.toSet
+    got.foreach { case (vecId, keptBy, nDups) =>
+      assert(keptBy < vecId)
+      assert(exactPairSet.contains((keptBy, vecId)),
+        s"($keptBy, $vecId) reported but not a true >=0.4 pair")
+      assert(nDups >= 1L)
+    }
+    // recall: clustering may split a near-dup pair across cells, but must
+    // find most of the all-pairs dup set (SemDeDup's operating premise)
+    val recall = got.map(_._1).toSet.intersect(exactDropSet).size.toDouble / exactDropSet.size
+    assert(recall >= 0.5, s"semantic dedup recall = $recall over ${exactDropSet.size} dups")
+  }
+
   test("I4: spark.ml MinHashLSH finds every exact-duplicate pair at distance 0") {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
     // sf0.1 is the only scale factor whose documents table contains exact
