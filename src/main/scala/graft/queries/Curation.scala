@@ -277,8 +277,74 @@ object Curation {
       |  CAST(length(raw) AS BIGINT) - CAST(length(nfc_normalize(raw)) AS BIGINT) AS composed
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- model-scored filter
+  /** Classifier-scored quality filtering — the fastText/logistic-gate
+    * pattern every production corpus pipeline runs (a trained model scores
+    * each document; a threshold gates it into the corpus). The model here
+    * is a fixed-weight linear scorer over the library's quality features
+    * (length, stopword ratio, mean token length, lexical diversity) with a
+    * RATIONAL squash s = z/(1+|z|) instead of the logistic 1/(1+e^-z):
+    * exp() is libm-dependent across engines (SURVEY §7.4 — same reason
+    * tfidf uses the rational idf form), while the rational form is one
+    * IEEE division — bit-identical everywhere, same monotone shape, so
+    * thresholding behaves the same. Weights are inlined constants (a stand-
+    * in for shipped model parameters; the plumbing — per-row featurize →
+    * dot → squash → gate — is exactly what a real classifier needs, and at
+    * 100 TB it stays a pure per-row projection with no shuffle before the
+    * output sort).
+    *
+    * Feature/score arithmetic is sequenced identically in both engines
+    * (left-to-right double fold), so scores hash-match bit-for-bit.
+    */
+  def qualityLogitScore(spark: SparkSession, sf: String): DataFrame = {
+    val toks = filter(TextOps.tokensCol, t => t =!= "")
+    Tables.documents(spark, sf)
+      .select(
+        col("doc_id"), col("source"),
+        toks.as("t"),
+        length(regexp_replace(col("text"), " ", "")).cast("double").as("nonspace"))
+      .select(
+        col("doc_id"), col("source"),
+        size(col("t")).cast("double").as("n_tokens"),
+        (size(expr("filter(t, x -> x in ('the','and','of','to','in','is','a','an'))")).cast("double")
+          / size(col("t"))).as("stop_ratio"),
+        (col("nonspace") / size(col("t"))).as("mean_tok_len"),
+        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("distinct_ratio"))
+      .withColumn("x_len", least(col("n_tokens") / 100.0, lit(1.0)))
+      .withColumn(
+        "z",
+        lit(-1.0) + col("x_len") * 2.0 + col("stop_ratio") * 1.5 +
+          (col("mean_tok_len") / 10.0) * 0.8 + col("distinct_ratio") * 1.2)
+      .withColumn("score", col("z") / (lit(1.0) + abs(col("z"))))
+      .select(
+        col("doc_id"), col("source"), col("score"),
+        (col("score") >= 0.2).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityLogitScoreSql: String =
+    """SELECT doc_id, source, score, score >= 0.2 AS pass FROM (
+      |  SELECT doc_id, source, z / (1.0 + abs(z)) AS score FROM (
+      |    SELECT doc_id, source,
+      |      -1.0 + least(n_tokens / 100.0, 1.0) * 2.0 + stop_ratio * 1.5
+      |        + (mean_tok_len / 10.0) * 0.8 + distinct_ratio * 1.2 AS z
+      |    FROM (
+      |      SELECT doc_id, source,
+      |        CAST(len(t) AS DOUBLE) AS n_tokens,
+      |        CAST(len(list_filter(t, x -> x IN ('the','and','of','to','in','is','a','an'))) AS DOUBLE) / len(t) AS stop_ratio,
+      |        CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t) AS mean_tok_len,
+      |        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio
+      |      FROM (
+      |        SELECT doc_id, source, text,
+      |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      |        FROM documents)
+      |    )
+      |  )
+      |) ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("dedup_keep_best", dedupKeepBest _, dedupKeepBestSql),
+    ("quality_logit_score", qualityLogitScore _, qualityLogitScoreSql),
     ("token_diversity", tokenDiversity _, tokenDiversitySql),
     ("source_similarity", sourceSimilarity _, sourceSimilaritySql),
     ("domain_rebalance", domainRebalance _, domainRebalanceSql),
