@@ -188,6 +188,54 @@ object Curation {
       |    least(1.0, CAST(target_tokens AS DOUBLE) / CAST(tokens AS DOUBLE))) AS BIGINT) AS expected_tokens
       |FROM t ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- temperature mixing
+  /** Temperature-weighted source mixing (the Pile/PaLM sampling pattern,
+    * public): instead of proportional-to-size sampling (which lets one
+    * giant crawl source dominate) each source's mix weight is
+    * tokensᵅ / Σ tokensᵅ with α = 0.5 — sqrt flattens the size
+    * distribution so small high-quality sources are upsampled. Targets
+    * are allocated against a half-corpus token budget.
+    *
+    * Determinism discipline: sqrt is IEEE-correctly-rounded (engine-
+    * identical), but Σ sqrt(tokens) is a FLOAT sum — order-dependent —
+    * so each sqrt is quantized to 2⁻²⁰ fixed point and summed as exact
+    * integers (the embedding_outliers trick): the denominator is a ratio
+    * of exact integers on any cluster size, and every weight/target is
+    * bit-identical across engines and partitionings. Per-source
+    * aggregation + one 20-row window — nothing shuffles the corpus twice.
+    */
+  def mixTemperature(spark: SparkSession, sf: String): DataFrame = {
+    val Q = 1048576L // 2^20
+    Tables.documents(spark, sf)
+      .withColumn("n_tokens", tokCount)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      // floor() explicitly before the long cast: Spark's double→long cast
+      // truncates while DuckDB's rounds — floor is the engine-identical form
+      .withColumn("sq", floor(sqrt(col("tokens").cast("double")) * Q).cast("long"))
+      .withColumn("budget", expr("(sum(tokens) over ()) div 2"))
+      .withColumn("weight", col("sq").cast("double") / expr("sum(sq) over ()").cast("double"))
+      .withColumn("target_tokens", floor(col("weight") * col("budget").cast("double")).cast("long"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("weight"), col("target_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val mixTemperatureSql: String =
+    """WITH agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT)) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source
+      |), q AS (
+      |  SELECT source, n_docs, tokens,
+      |    CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1048576) AS BIGINT) AS sq,
+      |    CAST(SUM(tokens) OVER () AS BIGINT) // 2 AS budget
+      |  FROM agg
+      |)
+      |SELECT source, n_docs, tokens,
+      |  CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE) AS weight,
+      |  CAST(floor(CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE) * CAST(budget AS DOUBLE)) AS BIGINT) AS target_tokens
+      |FROM q ORDER BY source""".stripMargin
+
   // ----------------------------------------------------- embedding outliers
   /** Embedding-space outlier detection: per label, flag vectors whose
     * squared L2 norm sits more than ±25% from the label mean — the cheap
@@ -348,6 +396,7 @@ object Curation {
     ("token_diversity", tokenDiversity _, tokenDiversitySql),
     ("source_similarity", sourceSimilarity _, sourceSimilaritySql),
     ("domain_rebalance", domainRebalance _, domainRebalanceSql),
+    ("mix_temperature", mixTemperature _, mixTemperatureSql),
     ("embedding_outliers", embeddingOutliers _, embeddingOutliersSql),
     ("text_normalize", textNormalize _, textNormalizeSql)
   )
