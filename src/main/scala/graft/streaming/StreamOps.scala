@@ -190,4 +190,53 @@ object StreamOps {
         col("event_type").as("new_type"))
       .where(col("prev_type").isNotNull && col("prev_type") =!= col("new_type"))
   }
+
+  // ------------------------------------------- §2.J5′ bloom-state dedup
+  /** Streaming dedup with BOUNDED state for an UNBOUNDED key space — the
+    * production pattern when `dropDuplicates` can't hold every key:
+    * watermarked dedup (§2.J5) bounds state by the time horizon, but a
+    * truly unbounded horizon (dedup against all history) would grow the
+    * exact key store forever. Here each of `shards` state groups holds ONE
+    * fixed-size Bloom filter (spark.util.sketch, serialized into
+    * GroupState); a row is emitted iff its key is definitely-new (probe
+    * negative — Bloom has no false negatives, so no duplicate is EVER
+    * emitted twice); at the built fpp a never-seen key may be wrongly
+    * dropped — the standard, documented trade for state that stays
+    * `shards × sketch_size` bytes forever, independent of stream length.
+    *
+    * Sharding by key-hash keeps the operator parallel (state keyed by
+    * shard id, `shards` concurrent groups) and each shard's filter sized
+    * for capacity/shards keys. At 100 TB/day scale this is the shape of
+    * every "have we crawled this URL before" / "is this doc hash new"
+    * stream screen.
+    */
+  def bloomDedup(
+      events: Dataset[(Long, Event)],
+      shards: Int = 32,
+      capacityPerShard: Long = 1 << 20,
+      fpp: Double = 0.01): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.util.sketch.BloomFilter
+    events
+      .groupByKey { case (key, _) => ((key % shards) + shards) % shards }
+      .flatMapGroupsWithState[Array[Byte], Event](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Event)], state: GroupState[Array[Byte]]) =>
+          val bloom = state.getOption
+            .map(b => BloomFilter.readFrom(b))
+            .getOrElse(BloomFilter.create(capacityPerShard, fpp))
+          // micro-batch iterators carry no order guarantee: order by
+          // event_id so the SURVIVOR of an intra-batch duplicate pair is
+          // deterministic (lowest event id), matching the dedup family's
+          // keep-first convention.
+          val ordered = rows.toSeq.sortBy(_._2.event_id)
+          val out = ordered.flatMap { case (key, e) =>
+            if (bloom.mightContainLong(key)) None
+            else { bloom.putLong(key); Some(e) }
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          state.update(bos.toByteArray)
+          out.iterator
+      }
+  }
 }
