@@ -41,6 +41,13 @@ class BloomSpec extends AnyFunSuite {
     assert(fp <= (probes.size * 0.03).toLong, s"fp=$fp of ${probes.size} — fpp far above the built 1%")
   }
 
+  test("empty filter (nothing inserted): every probe is definitely-absent") {
+    val bytes = sketchOf(Seq.empty)
+    val hits = spark.range(1000)
+      .where(bloom_contains(lit(bytes), col("id"))).count()
+    assert(hits === 0L, "an empty Bloom filter must reject every probe")
+  }
+
   test("null semantics: null probe and null sketch both yield NULL, not a crash") {
     val bytes = sketchOf(Seq(1L, 2L))
     val df = spark.sql("SELECT CAST(NULL AS BIGINT) AS h UNION ALL SELECT 1L")
