@@ -43,13 +43,20 @@ object Tables {
         require(
           spark.conf.getOption(EventsNanosConf).contains("true"),
           s"reading events.parquet requires $EventsNanosConf=true in the session builder")
-        spark.read
-          .parquet(path(sfDir, "events"))
-          // integer ns→µs truncation; cast through timestamp to NTZ is
-          // wall-clock-preserving because the session TZ is pinned UTC.
-          .withColumn(
-            "ts",
-            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        val raw = spark.read.parquet(path(sfDir, "events"))
+        // Layout-adaptive: the driver's file stores ts as TIMESTAMP(NANOS)
+        // (reads as bigint ns under nanosAsLong); graft.tools.DataGen output
+        // stores TIMESTAMP_NTZ(µs) directly (Spark cannot write nanos).
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // integer ns→µs truncation; cast through timestamp to NTZ is
+            // wall-clock-preserving because the session TZ is pinned UTC.
+            raw.withColumn(
+              "ts",
+              timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+          case org.apache.spark.sql.types.TimestampNTZType => raw
+          case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        }
       case other =>
         spark.read.parquet(path(sfDir, other))
     }
