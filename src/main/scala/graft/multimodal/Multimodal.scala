@@ -18,9 +18,14 @@ import graft.Tables
   * in SQL; the PNG byte stream itself (length, checksum) is not
   * SQL-expressible and is ScalaTest-covered instead (MultimodalSpec).
   *
-  * The audio path has no codec in this container and stays a header-stub:
-  * payload = UTF-8 text bytes, no decoded dimensions (NULL) — the shape a
-  * real audio header parse would fill in the same mapPartitions slot.
+  * The audio path is a REAL codec round-trip too (VERDICT r6 item 3): each
+  * audio row renders an actual PCM16 WAV container (AudioSystem.write over
+  * a deterministic sample buffer), and the decode slot parses it back with
+  * javax.sound.sampled — `sample_rate`/`channels`/`n_samples` come from
+  * the parsed RIFF header and frame count, not from arithmetic on the
+  * payload. The oracle recomputes the generation formulas in SQL; the WAV
+  * byte stream itself is pinned in MultimodalSpec (44-byte canonical PCM
+  * header, so octet_length is SQL-predictable for the frame-sample query).
   */
 object Multimodal {
 
@@ -36,6 +41,9 @@ object Multimodal {
       byte_len: Long,
       width: Option[Int],
       height: Option[Int],
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      n_samples: Option[Long],
       checksum_md5: String)
 
   /** Batch size for partition-wise decode (Arrow-batch-shaped). */
@@ -75,22 +83,77 @@ object Multimodal {
     (img.getWidth, img.getHeight)
   }
 
-  /** Synthesize a media table from documents: even-n_chars rows become real
-    * PNG payloads (image), odd rows keep UTF-8 text bytes (audio stand-in).
-    * The render is a typed map on executors — the same slot a real ingest
-    * fills by reading media files alongside the metadata scan.
+  /** Deterministic audio parameters for doc fields (the generation formula
+    * the oracle recomputes in SQL; audio rows have ODD n_chars). Small
+    * sample counts keep the frame cheap at bench scale.
     */
-  def syntheticMedia(spark: SparkSession, sf: String): DataFrame = {
+  def audioParams(nChars: Long): (Int, Int, Long) =
+    (8000 * (1 + (nChars % 3)).toInt, 1 + ((nChars / 2) % 2).toInt, (nChars % 100) * 40 + 40)
+
+  /** Render a real PCM16 WAV: deterministic sample buffer (doc-seeded),
+    * encoded through javax.sound.sampled.AudioSystem — executor-side,
+    * headless-safe. The canonical PCM WAVE container is 44 header bytes +
+    * 2·channels·nSamples data bytes (pinned in MultimodalSpec — the
+    * frame-sample oracle relies on octet_length being that formula).
+    */
+  def makeWav(sampleRate: Int, channels: Int, nSamples: Long, seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val pcm = new Array[Byte](2 * channels * nSamples.toInt)
+    var i = 0
+    while (i < pcm.length / 2) {
+      val s = ((i * 2654435761L + seed * 40503L) % 65536L - 32768L).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Parse a WAV container back to (sample_rate, channels, n_samples) —
+    * the real decode the batched slot runs for audio rows.
+    */
+  def decodeWav(bytes: Array[Byte]): (Int, Int, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    (fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength)
+  }
+
+  /** Synthesize a media table from documents: even-n_chars rows become real
+    * PNG payloads (image), odd rows real PCM16 WAV payloads (audio). The
+    * render is a typed map on executors — the same slot a real ingest
+    * fills by reading media files alongside the metadata scan.
+    *
+    * `mediaType` pre-filters BEFORE the typed map (ADVICE r6): a filter on
+    * the post-map `media_type` column cannot push through
+    * SerializeFromObject, so a single-modality consumer would otherwise
+    * pay the other modality's full encode. Parity on `n_chars` is the
+    * modality assignment, so the pre-filter is exact.
+    */
+  def syntheticMedia(spark: SparkSession, sf: String, mediaType: Option[String] = None): DataFrame = {
     import spark.implicits._
-    Tables
-      .documents(spark, sf)
+    val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("text"))
+    val wanted = mediaType match {
+      case Some("image") => docs.where(col("n_chars") % 2 === 0)
+      case Some("audio") => docs.where(col("n_chars") % 2 === 1)
+      case _             => docs
+    }
+    wanted
       .as[(Long, Long, String)]
-      .map { case (docId, nChars, text) =>
+      .map { case (docId, nChars, _) =>
         if (nChars % 2 == 0) {
           val (w, h) = imageDims(nChars)
           (docId, "image", makePng(w, h, docId))
-        } else (docId, "audio", text.getBytes("UTF-8"))
+        } else {
+          val (rate, ch, n) = audioParams(nChars)
+          (docId, "audio", makeWav(rate, ch, n, docId))
+        }
       }
       .toDF("doc_id", "media_type", "content")
   }
@@ -117,8 +180,15 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(DecodeBatchSize).flatMap { batch =>
           batch.map { r =>
-            val dims = if (r.media_type == "image") Some(decodePng(r.content)) else None
-            MediaMeta(r.doc_id, r.media_type, r.byte_len, dims.map(_._1), dims.map(_._2), r.checksum_md5)
+            if (r.media_type == "image") {
+              val (w, h) = decodePng(r.content)
+              MediaMeta(r.doc_id, r.media_type, r.byte_len,
+                Some(w), Some(h), None, None, None, r.checksum_md5)
+            } else {
+              val (rate, ch, n) = decodeWav(r.content)
+              MediaMeta(r.doc_id, r.media_type, r.byte_len,
+                None, None, Some(rate), Some(ch), Some(n), r.checksum_md5)
+            }
           }
         }
       }
@@ -132,14 +202,18 @@ object Multimodal {
     */
   def multimodalMeta(spark: SparkSession, sf: String): DataFrame =
     extractMeta(spark, syntheticMedia(spark, sf))
-      .select(col("doc_id"), col("media_type"), col("width"), col("height"))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("sample_rate"), col("channels"), col("n_samples"))
       .orderBy(col("doc_id"))
 
   val multimodalMetaSql: String =
     """SELECT doc_id,
       |  CASE WHEN n_chars % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
       |  CASE WHEN n_chars % 2 = 0 THEN CAST(1 + n_chars % 64 AS INT) END AS width,
-      |  CASE WHEN n_chars % 2 = 0 THEN CAST(1 + n_chars % 48 AS INT) END AS height
+      |  CASE WHEN n_chars % 2 = 0 THEN CAST(1 + n_chars % 48 AS INT) END AS height,
+      |  CASE WHEN n_chars % 2 = 1 THEN CAST(8000 * (1 + n_chars % 3) AS INT) END AS sample_rate,
+      |  CASE WHEN n_chars % 2 = 1 THEN CAST(1 + (n_chars // 2) % 2 AS INT) END AS channels,
+      |  CASE WHEN n_chars % 2 = 1 THEN CAST((n_chars % 100) * 40 + 40 AS BIGINT) END AS n_samples
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Resize planning (image path): target box 256×256, aspect preserved.
@@ -150,7 +224,7 @@ object Multimodal {
     * is pure relational projection and stays in codegen.
     */
   def multimodalResize(spark: SparkSession, sf: String): DataFrame =
-    extractMeta(spark, syntheticMedia(spark, sf))
+    extractMeta(spark, syntheticMedia(spark, sf, Some("image"))) // image-only: skip the WAV encode entirely
       .where(col("media_type") === "image")
       .select(
         col("doc_id"),
@@ -172,13 +246,15 @@ object Multimodal {
       |) ORDER BY doc_id""".stripMargin
 
   /** Frame sampling (time-indexed path): duration derived deterministically
-    * from the payload (header-stub for the codec-less modality), 4 fps,
-    * every 8th frame. The sample positions are a per-row Generate — zero
-    * shuffles, exactly the shape a real frame extractor feeds batch-wise.
+    * from the WAV payload length, 4 fps, every 8th frame. The audio-only
+    * pre-filter means the PNG encode never runs here (ADVICE r6); the
+    * sample positions are a per-row Generate — zero shuffles, exactly the
+    * shape a real frame extractor feeds batch-wise. The oracle recomputes
+    * octet_length from the canonical PCM WAV size formula
+    * (44 + 2·channels·n_samples — pinned in MultimodalSpec).
     */
   def multimodalFrameSample(spark: SparkSession, sf: String): DataFrame =
-    syntheticMedia(spark, sf)
-      .where(col("media_type") === "audio") // stands in for the time-indexed modality
+    syntheticMedia(spark, sf, Some("audio"))
       .withColumn("duration_s", (octet_length(col("content")) % 60 + 1).cast("long"))
       .select(
         col("doc_id"),
@@ -191,7 +267,8 @@ object Multimodal {
     """SELECT doc_id, duration_s, unnest(range(0, duration_s * 4, 8)) AS frame_no,
       |  CAST(unnest(range(0, duration_s * 4, 8)) AS DOUBLE) / 4.0 AS t_offset_s
       |FROM (
-      |  SELECT doc_id, CAST(octet_length(encode(text)) % 60 + 1 AS BIGINT) AS duration_s
+      |  SELECT doc_id,
+      |    CAST((44 + 2 * (1 + (n_chars // 2) % 2) * ((n_chars % 100) * 40 + 40)) % 60 + 1 AS BIGINT) AS duration_s
       |  FROM documents WHERE n_chars % 2 = 1
       |) ORDER BY doc_id, frame_no""".stripMargin
 

@@ -44,17 +44,22 @@ object Vectors {
   val AllPairsMaxRowsConf = "spark.graft.allPairs.maxRows"
   private val AllPairsMaxRowsDefault = 1000000L
 
-  /** Runtime guard: one metadata-cheap count of the (tiny-schema) input,
-    * refused with an actionable error above the bound. The count is the
-    * only action — nothing is collected.
+  /** Runtime guard: a BOUNDED probe — `limit(bound + 1).count()` — so the
+    * guard itself costs O(bound), not a full scan of the input (ADVICE r6:
+    * the earlier full `count()` re-scanned the whole table on every
+    * invocation, including inside the timed bench region). A result of
+    * bound + 1 means "more than bound rows exist"; nothing is collected.
     */
-  private def guardAllPairs(spark: SparkSession, input: DataFrame, op: String): Unit = {
+  private[queries] def guardAllPairs(spark: SparkSession, input: DataFrame, op: String): Unit = {
     val bound = spark.conf.getOption(AllPairsMaxRowsConf)
       .map(_.toLong).getOrElse(AllPairsMaxRowsDefault)
-    val n = input.count()
-    if (n > bound) throw new IllegalStateException(
+    // limit() takes an Int; a bound at or above Int.MaxValue means the
+    // caller has explicitly opted into an unguardable pair space.
+    if (bound >= Int.MaxValue.toLong) return
+    val probed = input.limit(bound.toInt + 1).count()
+    if (probed > bound) throw new IllegalStateException(
       s"$op is an O(n²) all-pairs oracle-calibration operator; its input has " +
-        s"$n rows > $AllPairsMaxRowsConf=$bound. Use the bucketed scale path " +
+        s"more than $AllPairsMaxRowsConf=$bound rows. Use the bucketed scale path " +
         "(knn_lsh_bucketed / ann_ivf / dedup_embedding_lsh), or raise the bound to opt in.")
   }
 
@@ -494,27 +499,66 @@ object Vectors {
     */
   def buildIvfIndex(spark: SparkSession, sf: String): String = {
     val dir = ivfIndexDir(sf)
+    // The dir name embeds a source-data fingerprint and only a COMPLETE
+    // index can appear at it (atomic rename below), so an existing index
+    // is the one this build would produce — training is deterministic.
+    if (new java.io.File(s"$dir/assigned/_SUCCESS").exists()) return dir
+    // Build into a staging dir, then ATOMIC-rename into place (ADVICE r6):
+    // a concurrent JVM building the same index either wins the rename or
+    // finds the winner's complete directory — no reader ever sees a
+    // half-written index.
+    val staging = java.nio.file.Paths.get(
+      s"$dir.tmp.${java.lang.ProcessHandle.current().pid()}")
     val emb = Tables.embeddings(spark, sf)
     val cells = trainCells(emb).localCheckpoint()
-    cells.write.mode("overwrite").parquet(s"$dir/cells")
-    assignTop2(emb, cells).write.mode("overwrite").parquet(s"$dir/assigned")
+    cells.write.mode("overwrite").parquet(s"$staging/cells")
+    assignTop2(emb, cells).write.mode("overwrite").parquet(s"$staging/assigned")
+    try
+      java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // Linux rename(2) onto an existing non-empty dir surfaces as a
+      // GENERIC FileSystemException (ENOTEMPTY), not the typed
+      // DirectoryNotEmptyException — catch the superclass, then verify.
+      case e: java.nio.file.FileSystemException =>
+        if (!new java.io.File(s"$dir/assigned/_SUCCESS").exists()) throw e
+        // another JVM completed the same (fingerprinted, hence identical —
+        // training is deterministic) index first; discard our copy
+        java.nio.file.Files.walk(staging)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+    }
     dir
   }
 
-  /** Index location: one directory per scale-factor dir under the JVM temp
-    * root. The `v1` tag versions the index FORMAT — bump it when the
-    * training recipe changes so a stale on-disk index can never serve a
-    * newer probe.
+  /** Index location: one directory per (scale-factor dir, SOURCE-DATA
+    * fingerprint) under the JVM temp root. The `v1` tag versions the index
+    * FORMAT — bump it when the training recipe changes; the fingerprint
+    * (size + mtime of every embeddings parquet part, ADVICE r6) keys the
+    * index to the exact bytes it was trained on, so regenerating the
+    * testdata in place can never serve a stale index — the new fingerprint
+    * simply misses and the probe rebuilds.
     */
   private def ivfIndexDir(sf: String): String = {
     val tag = sf.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_v1/$tag"
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_v1/${tag}_${ivfSourceFingerprint(sf)}"
+  }
+
+  private def ivfSourceFingerprint(sf: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk) else Seq(f)
+    val sig = walk(new java.io.File(Tables.path(sf, "embeddings")))
+      .filterNot(_.getName.startsWith("_"))
+      .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+      .mkString("|")
+    java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
   }
 
   def annIvfProbe(spark: SparkSession, sf: String): DataFrame = {
-    val marker = new java.io.File(s"${ivfIndexDir(sf)}/assigned/_SUCCESS")
-    val dir = if (marker.exists()) ivfIndexDir(sf) else buildIvfIndex(spark, sf)
-    probeAssigned(spark.read.parquet(s"$dir/assigned"))
+    val dir = ivfIndexDir(sf)
+    val marker = new java.io.File(s"$dir/assigned/_SUCCESS")
+    val resolved = if (marker.exists()) dir else buildIvfIndex(spark, sf)
+    probeAssigned(spark.read.parquet(s"$resolved/assigned"))
   }
 
   /** Oracle-side dot of a float list against a double centroid list — the
@@ -614,7 +658,29 @@ object Vectors {
     // two closest cells. Single-assignment recall at small cell counts is
     // poor (measured 0.31 at sf0.001 — boundary pairs split); probe-2
     // recovers it the same way it lifts IVF recall@3 to 0.83+.
-    val member = assignTop2(emb, cells)
+    semanticFromAssigned(assignTop2(emb, cells))
+  }
+
+  /** The persisted-quantizer regime of [[dedupSemantic]] (VERDICT r6 item
+    * 2): reuses the SAME on-disk top-2 assignment table the IVF index
+    * ships ([[buildIvfIndex]] — one training run amortized across ANN
+    * search and semantic dedup, the SemDeDup deployment shape), so only
+    * the within-cell pair join runs per call. Training is deterministic,
+    * so output is identical and it registers under the same oracle.
+    */
+  def dedupSemanticProbe(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ivfIndexDir(sf)
+    val marker = new java.io.File(s"$dir/assigned/_SUCCESS")
+    val resolved = if (marker.exists()) dir else buildIvfIndex(spark, sf)
+    semanticFromAssigned(spark.read.parquet(s"$resolved/assigned"))
+  }
+
+  /** Within-cell near-dup search over a top-2 assignment table — the
+    * shared tail of [[dedupSemantic]] (in-query training) and
+    * [[dedupSemanticProbe]] (persisted index).
+    */
+  private def semanticFromAssigned(assigned2: DataFrame): DataFrame = {
+    val member = assigned2
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
     val a = member.select(
       col("cell"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
@@ -699,6 +765,8 @@ object Vectors {
     // identical deterministic output by construction — same oracle
     ("ann_ivf_probe", annIvfProbe _, annIvfSql),
     ("embedding_quantize", embeddingQuantize _, embeddingQuantizeSql),
-    ("dedup_semantic", dedupSemantic _, dedupSemanticSql)
+    ("dedup_semantic", dedupSemantic _, dedupSemanticSql),
+    // identical deterministic output by construction — same oracle
+    ("dedup_semantic_probe", dedupSemanticProbe _, dedupSemanticSql)
   )
 }

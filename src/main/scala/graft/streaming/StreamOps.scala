@@ -224,19 +224,89 @@ object StreamOps {
           val bloom = state.getOption
             .map(b => BloomFilter.readFrom(b))
             .getOrElse(BloomFilter.create(capacityPerShard, fpp))
-          // micro-batch iterators carry no order guarantee: order by
-          // event_id so the SURVIVOR of an intra-batch duplicate pair is
-          // deterministic (lowest event id), matching the dedup family's
-          // keep-first convention.
-          val ordered = rows.toSeq.sortBy(_._2.event_id)
-          val out = ordered.flatMap { case (key, e) =>
-            if (bloom.mightContainLong(key)) None
-            else { bloom.putLong(key); Some(e) }
+          // SINGLE streaming pass (ADVICE r6: the earlier
+          // rows.toSeq.sortBy materialized + sorted the whole shard batch
+          // on one task's heap): the keep-lowest-event-id survivor
+          // convention only needs the MIN event per definitely-new key, so
+          // track that in a map keyed by the batch's NEW keys. Peak memory
+          // is O(new keys in batch), never O(batch rows) — duplicate rows
+          // are dropped as they stream by. (Residual assumption, now
+          // explicit: one shard's NEW-key set for one micro-batch fits an
+          // executor heap; size `shards` to the micro-batch, not the
+          // stream.)
+          val newMin = scala.collection.mutable.LongMap.empty[Event]
+          rows.foreach { case (key, e) =>
+            if (!bloom.mightContainLong(key)) {
+              val cur = newMin.getOrNull(key)
+              if (cur == null || e.event_id < cur.event_id) newMin.update(key, e)
+            }
           }
+          newMin.foreachKey(bloom.putLong)
           val bos = new java.io.ByteArrayOutputStream()
           bloom.writeTo(bos)
           state.update(bos.toByteArray)
-          out.iterator
+          // deterministic emit order (the emitted set is tiny vs the batch)
+          newMin.values.toArray.sortBy(_.event_id).iterator
+      }
+  }
+
+  /** Two-tier EXACT streaming dedup (VERDICT r6 item 4): [[bloomDedup]]
+    * trades a small false-drop rate (the Bloom fpp tail) for bounded
+    * state; this variant keeps the bounded state AND zero false drops by
+    * never dropping on a Bloom positive — it TAGS instead of filters.
+    *
+    * Tier 1 (this operator, streaming): probe-negative rows are
+    * `definitely_new = true` — Bloom has no false negatives, so every such
+    * row is a true first occurrence and can enter the corpus immediately
+    * with no further check. Probe-positive rows are emitted with
+    * `definitely_new = false`: CANDIDATE duplicates, a true-duplicate
+    * stream plus the ~fpp sliver of false positives.
+    *
+    * Tier 2 (batch, downstream): only the candidate sliver — fpp·|new
+    * keys| + |true dups| rows, not the corpus — goes through an exact
+    * confirm join against the accumulated key store, exactly the
+    * [[graft.queries.CorpusPrep]] `dedup_bloom_prefilter` confirm-join
+    * shape. StreamingSpec pins the end-to-end exactness: tier-1 output
+    * partitions losslessly (no row dropped), no duplicate is ever tagged
+    * definitely-new, and confirm(candidates) ∪ definitely-new == the exact
+    * batch-dedup survivor set on a corpus sized ABOVE one shard's
+    * capacity.
+    *
+    * Intra-batch duplicates resolve exactly like [[bloomDedup]]: the
+    * lowest-event-id row of a new key is the definitely-new survivor;
+    * its intra-batch duplicates are emitted as candidates.
+    */
+  def bloomDedupTagged(
+      events: Dataset[(Long, Event)],
+      shards: Int = 32,
+      capacityPerShard: Long = 1 << 20,
+      fpp: Double = 0.01): Dataset[(Event, Boolean)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.util.sketch.BloomFilter
+    events
+      .groupByKey { case (key, _) => ((key % shards) + shards) % shards }
+      .flatMapGroupsWithState[Array[Byte], (Event, Boolean)](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Event)], state: GroupState[Array[Byte]]) =>
+          val bloom = state.getOption
+            .map(b => BloomFilter.readFrom(b))
+            .getOrElse(BloomFilter.create(capacityPerShard, fpp))
+          val newMin = scala.collection.mutable.LongMap.empty[Event]
+          val candidates = scala.collection.mutable.ArrayBuffer.empty[Event]
+          rows.foreach { case (key, e) =>
+            if (bloom.mightContainLong(key)) candidates += e
+            else {
+              val cur = newMin.getOrNull(key)
+              if (cur == null) newMin.update(key, e)
+              else if (e.event_id < cur.event_id) { candidates += cur; newMin.update(key, e) }
+              else candidates += e
+            }
+          }
+          newMin.foreachKey(bloom.putLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          state.update(bos.toByteArray)
+          (newMin.values.map((_, true)) ++ candidates.map((_, false)))
+            .toArray.sortBy(_._1.event_id).iterator
       }
   }
 }

@@ -200,7 +200,13 @@ object DataGen {
     */
   private def writeTable(df: DataFrame, out: Path, name: String): Unit = {
     val tmp = out.resolve(s"_tmp_$name")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // 16 MB row groups: the single output FILE still splits into parallel
+    // scan tasks (Spark splits parquet by row group) — without this a
+    // ~100 MB table is one row group and every scan of it is one task,
+    // precisely the small-file topology the sf1 scale proof must not have.
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024 * 1024)
+      .parquet(tmp.toString)
     val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst.get
     Files.move(part, out.resolve(s"$name.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

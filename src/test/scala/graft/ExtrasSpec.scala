@@ -109,7 +109,22 @@ class ExtrasSpec extends AnyFunSuite {
       }
       // the bucketed scale paths stay open under the same bound
       assert(Vectors.knnLshBucketed(spark, Sf0001).count() > 0)
+      // explicit config opt-in: raising the bound re-opens the path on the
+      // same input (sf0.001 has 500 vectors, under 600)
+      spark.conf.set(Vectors.AllPairsMaxRowsConf, "600")
+      assert(Vectors.knnBruteForce(spark, Sf0001).count() > 0)
     } finally spark.conf.unset(Vectors.AllPairsMaxRowsConf)
+  }
+
+  test("dedup_semantic_probe: shares the persisted IVF artifact, output == in-query training output") {
+    import graft.queries.Vectors
+    val dir = Vectors.buildIvfIndex(spark, Sf0001)
+    // ONE on-disk artifact serves both ANN search and semantic dedup
+    assert(new java.io.File(s"$dir/assigned/_SUCCESS").exists())
+    val probe = Vectors.dedupSemanticProbe(spark, Sf0001).collect().map(_.toSeq)
+    val full = Vectors.dedupSemantic(spark, Sf0001).collect().map(_.toSeq)
+    assert(probe === full)
+    assert(probe.nonEmpty)
   }
 
   test("embedding-LSH dedup emits only true >=0.4 pairs and finds most of them") {

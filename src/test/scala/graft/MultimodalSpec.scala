@@ -41,6 +41,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(bytes, Multimodal.makePng(37, 21, seed = 42L)))
   }
 
+  test("WAV encode/decode round-trip is lossless; container is canonical 44-byte-header PCM") {
+    val bytes = Multimodal.makeWav(16000, 2, 1000, seed = 42L)
+    assert(Multimodal.decodeWav(bytes) === ((16000, 2, 1000L)))
+    // canonical PCM WAVE: 44 header bytes + 2·channels·nSamples data bytes.
+    // The multimodal_frame_sample ORACLE depends on this size formula —
+    // if the writer ever emits extra chunks this pin fails before the
+    // driver compare does.
+    assert(bytes.length === 44 + 2 * 2 * 1000)
+    // RIFF/WAVE magic
+    assert(new String(bytes.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    // deterministic encode
+    assert(java.util.Arrays.equals(bytes, Multimodal.makeWav(16000, 2, 1000, seed = 42L)))
+  }
+
+  test("decoded WAV params equal the generation formula; media-type pre-filter matches post-map tags") {
+    val meta = Multimodal.extractMeta(spark, Multimodal.syntheticMedia(spark, Sf0001, Some("audio")))
+    assert(meta.where(col("media_type") =!= "audio").count() === 0)
+    val expected = Tables.documents(spark, Sf0001)
+      .where(col("n_chars") % 2 === 1)
+      .select(col("doc_id"),
+        (lit(8000) * (col("n_chars") % 3 + 1)).cast("int").as("xr"),
+        ((col("n_chars") / 2).cast("long") % 2 + 1).cast("int").as("xc"),
+        ((col("n_chars") % 100) * 40 + 40).cast("long").as("xn"))
+    assert(meta.count() === expected.count())
+    val bad = meta.join(expected, "doc_id").where(
+      col("sample_rate") =!= col("xr") || col("channels") =!= col("xc") ||
+        col("n_samples") =!= col("xn") ||
+        col("byte_len") =!= lit(44) + lit(2) * col("xc") * col("xn"))
+    assert(bad.count() === 0)
+  }
+
   test("decode runs distributed: plan has no driver-side collect") {
     val meta = Multimodal.multimodalMeta(spark, Sf0001)
     // mapPartitions shows up as a (De)SerializeFromObject + MapPartitions plan
@@ -50,13 +82,16 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("checksum and byte_len describe the actual payload bytes") {
     val meta = Multimodal.extractMeta(spark, Multimodal.syntheticMedia(spark, Sf0001))
-    // audio rows: payload is the UTF-8 text, so md5/byte_len are recomputable
+    // audio rows: canonical WAV container size is recomputable from the
+    // generation formula (44-byte header pin above)
     val expected = Tables
       .documents(spark, Sf0001)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("m"),
-        octet_length(col("text").cast("binary")).cast("long").as("len"))
+      .where(col("n_chars") % 2 === 1)
+      .select(col("doc_id"),
+        (lit(44) + lit(2) * ((col("n_chars") / 2).cast("long") % 2 + 1) *
+          ((col("n_chars") % 100) * 40 + 40)).cast("long").as("len"))
     val audioBad = meta.where(col("media_type") === "audio").join(expected, "doc_id")
-      .where(col("checksum_md5") =!= col("m") || col("byte_len") =!= col("len"))
+      .where(col("byte_len") =!= col("len") || length(col("checksum_md5")) =!= 32)
     assert(audioBad.count() === 0)
     // image rows: PNG stream is non-empty and checksum is well-formed hex
     val imageBad = meta.where(col("media_type") === "image")

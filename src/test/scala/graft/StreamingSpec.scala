@@ -195,6 +195,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("J5'' two-tier tagged dedup: zero false drops on a corpus above shard capacity; confirm join recovers the exact survivor set") {
+    // VERDICT r6 item 4: bloomDedup's fpp tail silently drops never-seen
+    // keys. The tagged variant must lose NOTHING: definitely-new rows are
+    // provably first occurrences (no false negatives), everything else is
+    // a candidate for the exact batch confirm. Deliberately overload the
+    // filters: 2 shards × 256 capacity at fpp 0.1, then stream 4 000
+    // distinct keys — far past capacity, so false positives are common.
+    val input = MemoryStream[(Long, StreamOps.Event)](spark)
+    val q = StreamOps.bloomDedupTagged(input.toDS(), shards = 2, capacityPerShard = 256, fpp = 0.1)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("bloomtagged").start()
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (key, event_id)
+    try {
+      var eid = 0L
+      (1 to 8).foreach { b =>
+        val fresh = (0 until 500).map { i =>
+          val k = b * 1000L + i
+          eid += 1; sent += ((k, eid)); (k, StreamOps.Event(eid, k, "view", 1.0))
+        }
+        val dups = (0 until 100).map { i =>
+          val k = math.max(1, b - 1) * 1000L + i
+          eid += 1; sent += ((k, eid)); (k, StreamOps.Event(eid, k, "view", 1.0))
+        }
+        input.addData(fresh ++ dups: _*)
+        q.processAllAvailable()
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows <= 2L, s"batch $b: state rows $stateRows > shard count 2")
+      }
+      val out = spark.table("bloomtagged")
+        .select(col("_1.user_id"), col("_1.event_id"), col("_2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      // exact ground truth: the lowest event id per key
+      val groundTruth = sent.groupBy(_._1).map { case (k, rows) => (k, rows.map(_._2).min) }
+      // (1) LOSSLESS: every input row is emitted exactly once, some tag
+      assert(out.length === sent.length, s"emitted ${out.length} of ${sent.length} rows")
+      // (2) tier 1 is SOUND: every definitely-new row is a true first
+      //     occurrence (Bloom has no false negatives), and no key twice
+      val defNew = out.filter(_._3).map(t => (t._1, t._2))
+      assert(defNew.map(_._1).distinct.length === defNew.length, "a key was tagged definitely-new twice")
+      defNew.foreach { case (k, e) => assert(groundTruth(k) === e, s"non-survivor ($k,$e) tagged definitely-new") }
+      // (3) the fpp tail actually fired at this overload — the rows the
+      //     UNTAGGED operator would have silently dropped...
+      val missed = groundTruth.keySet -- defNew.map(_._1).toSet
+      assert(missed.nonEmpty, "overload did not produce Bloom false positives; test not exercising the tail")
+      // ...are all present in the candidate stream, and the exact confirm
+      // (key-store lookup = groundTruth here) recovers the EXACT survivor set
+      val candidates = out.filter(!_._3).map(t => (t._1, t._2)).toSet
+      missed.foreach { k => assert(candidates.contains((k, groundTruth(k))), s"survivor of key $k lost") }
+      val confirmed = candidates.filter { case (k, e) => groundTruth(k) == e }
+      val finalSurvivors = defNew.toSet ++ confirmed
+      assert(finalSurvivors === groundTruth.map { case (k, e) => (k, e) }.toSet,
+        "two-tier result differs from exact batch dedup")
+    } finally q.stop()
+  }
+
   test("J6 soak: 50 micro-batches, change-detector state bounded by key count") {
     // VERDICT r5 item 8: the stateful operators existed only at
     // few-batch ScalaTest scale. This drives 50 micro-batches through the
