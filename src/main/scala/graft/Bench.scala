@@ -139,9 +139,19 @@ object Bench {
     // targeted re-runs (min-merged, early exit once within AcceptWithin×).
     // Rows still inflated after that are listed in `inflated` so a bad
     // total can never pass silently as a plan regression.
+    // Floors are calibrated AT A SCALE FACTOR: docs/bench_floors.json holds
+    // the sf0.1 cross-run floors (the driver's bench posture). At any other
+    // sfDir those floors would mislabel legitimate data growth as host
+    // stalls (a 10× data row is not a transient), so floors apply only to
+    // the sf they were measured at — sf0.1 by default, or an explicit
+    // SPARK_GRAFT_FLOORS=<path> for other scales (docs/bench_floors_sf1.json
+    // is committed for the sf1 scale-proof runs).
     val floors: Map[String, Double] = {
-      val f = new java.io.File("docs/bench_floors.json")
-      if (!f.exists()) Map.empty
+      val f = sys.env.get("SPARK_GRAFT_FLOORS").map(new java.io.File(_))
+        .getOrElse(new java.io.File("docs/bench_floors.json"))
+      val floorsApply = sys.env.contains("SPARK_GRAFT_FLOORS") ||
+        sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+      if (!floorsApply || !f.exists()) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
