@@ -16,7 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset filter (comma-separated query names): re-verify a
+    // single query without a full-suite pass. The driver never sets it.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only.fold(SparkEntry.queries)(s => SparkEntry.queries.view.filterKeys(s).toMap)
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -255,16 +255,19 @@ object CorpusPrep {
     * documents whose token count lies within the exact interpolated
     * [p10, p90] band, and report the band + yield. The bounds table is one
     * row per lang — broadcast back onto the corpus; percentile() /
-    * percentile_cont parity is the same validated pairing as
-    * Scalars.percentileSummary.
+    * percentile_cont parity is the same pairing as
+    * Scalars.percentileSummary: both interpolate linearly but the float
+    * evaluation order differs in the last ulp, so the bounds are rounded
+    * to 4 dp on both sides (they are output columns AND filter bounds —
+    * rounding before the filter keeps the two engines' kept-sets equal).
     */
   def lengthQuantileFilter(spark: SparkSession, sf: String): DataFrame = {
     val d = withTokenCount(Tables.documents(spark, sf))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
     val bounds = d.groupBy(col("lang"))
       .agg(
-        expr("percentile(n_tokens, 0.1)").as("lo"),
-        expr("percentile(n_tokens, 0.9)").as("hi"))
+        round(expr("percentile(n_tokens, 0.1)"), 4).as("lo"),
+        round(expr("percentile(n_tokens, 0.9)"), 4).as("hi"))
     d.join(broadcast(bounds), Seq("lang"))
       .groupBy(col("lang"), col("lo"), col("hi"))
       .agg(
@@ -281,8 +284,8 @@ object CorpusPrep {
       |  FROM documents
       |), bounds AS (
       |  SELECT lang,
-      |    percentile_cont(0.1) WITHIN GROUP (ORDER BY n_tokens) AS lo,
-      |    percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tokens) AS hi
+      |    round(percentile_cont(0.1) WITHIN GROUP (ORDER BY n_tokens), 4) AS lo,
+      |    round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tokens), 4) AS hi
       |  FROM d GROUP BY lang
       |)
       |SELECT d.lang, lo, hi, COUNT(*) AS n_docs,

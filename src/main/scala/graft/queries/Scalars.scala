@@ -285,26 +285,29 @@ object Scalars {
       |  GROUP BY event_type
       |) ORDER BY event_type""".stripMargin
 
-  /** Exact percentiles (interpolating): validated bit-identical between
-    * Spark `percentile()` and DuckDB `percentile_cont` on this data
-    * (including interpolation artifacts like 112.01000000000003) before
-    * registration — both sort exactly and interpolate linearly.
+  /** Exact percentiles (interpolating). Spark `percentile()` and DuckDB
+    * `percentile_cont` both sort exactly and interpolate linearly, but the
+    * interpolation formula's float evaluation order differs between the
+    * engines, so the last ulp can disagree (observed at sf1:
+    * 115.95 vs 115.95000000000002 — the sf0.1 data happened to match
+    * bit-for-bit). Both sides therefore round the interpolated output to
+    * 4 dp; min/max are raw (exact, no interpolation).
     */
   def percentileSummary(spark: SparkSession, sf: String): DataFrame =
     Tables
       .events(spark, sf)
       .groupBy(col("event_type"))
       .agg(
-        expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.9)").as("p90"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"))
       .orderBy(col("event_type"))
 
   val percentileSummarySql: String =
     """SELECT event_type,
-      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50,
-      |  percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4) AS p90,
       |  min(value) AS min_v,
       |  max(value) AS max_v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
