@@ -252,15 +252,32 @@ object Vectors {
     */
   // def, not val: dedupEmbeddingLshSql above interpolates this during
   // object init, and a val declared later would still be null at that point
+  //
+  // Bits per table are ADAPTIVE (round-7 sf1 fix): a fixed 4 bits means a
+  // constant 16 buckets/table, so 10× vectors → 10× occupancy → 100×
+  // within-bucket pairs (measured ×128 at sf1). bits =
+  // clamp(ceil(log2(n/125)), 4, 16) keeps expected occupancy ≤~125, so the
+  // candidate count grows ~linearly. n ≤ 2000 (every driver SF) stays at
+  // exactly 4 bits — identical buckets, results, and pinned recall floors.
+  // The count is computed IN-PLAN (a 1-row aggregate, broadcast), not
+  // driver-side, so the static SQL twin can apply the identical formula.
+  // Cap 16 = 64 dims / 4 tables (sign-LSH spends one dimension per bit);
+  // past n ≈ 125·2^16 ≈ 8 M vectors per partition-group you'd switch to
+  // random-hyperplane projections (bits no longer bounded by dims) — at
+  // that scale this whole query runs per corpus shard anyway.
+  // defs, not vals, for the same init-order reason as lshCandidateUnionSql
+  private def LshTargetOccupancy = 125.0
+  private def lshBitsSql: String =
+    s"SELECT LEAST(16, GREATEST(4, CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / $LshTargetOccupancy)) AS INT))) AS bits FROM embeddings"
   private[queries] def lshCandidateUnionSql: String = {
-    def bucketExpr(t: Int) = (t * 4 + 1 to t * 4 + 4)
-      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
-      .mkString(" || ")
+    def bucketExpr(t: Int) =
+      s"array_to_string(list_transform(range(p.bits * $t + 1, p.bits * ${t + 1} + 1), " +
+        s"i -> CASE WHEN embedding[i] > 0 THEN '1' ELSE '0' END), '')"
     (0 until 4)
       .map(t =>
         s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM " +
-          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings) a JOIN " +
-          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings) b " +
+          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings, ($lshBitsSql) p) a JOIN " +
+          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings, ($lshBitsSql) p) b " +
           s"ON a.bkt = b.bkt AND a.vec_id < b.vec_id")
       .mkString("\n  UNION\n  ")
   }
@@ -271,13 +288,20 @@ object Vectors {
     */
   private[queries] def lshCandidatePairs(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(spark, sf)
-    val buckets = array((0 until 4).map { t =>
-      struct(
-        lit(t).as("t"),
-        concat((t * 4 + 1 to t * 4 + 4)
-          .map(i => when(element_at(col("embedding"), i) > 0f, "1").otherwise("0")): _*).as("bkt"))
-    }: _*)
-    val tb = e.select(col("vec_id"), explode(buckets).as("b"))
+    // 1-row aggregate, broadcast onto every row: the same adaptive-bits
+    // formula the SQL twin computes (see lshBitsSql).
+    val params = e.agg(
+      least(
+        lit(16),
+        greatest(lit(4), ceil(log2(greatest(count(lit(1)), lit(1L)) / LshTargetOccupancy))))
+        .cast("int").as("bits"))
+    def bucketFor(t: Int) = array_join(
+      transform(
+        sequence(col("bits") * t + 1, col("bits") * (t + 1)),
+        i => when(element_at(col("embedding"), i) > 0f, "1").otherwise("0")),
+      "")
+    val buckets = array((0 until 4).map(t => struct(lit(t).as("t"), bucketFor(t).as("bkt"))): _*)
+    val tb = e.crossJoin(broadcast(params)).select(col("vec_id"), explode(buckets).as("b"))
       .select(col("vec_id"), col("b.t").as("t"), col("b.bkt").as("bkt"))
     tb.select(col("vec_id").as("vec_a"), col("t"), col("bkt"))
       .join(tb.select(col("vec_id").as("vec_b"), col("t"), col("bkt")), Seq("t", "bkt"))
