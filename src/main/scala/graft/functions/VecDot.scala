@@ -6,13 +6,18 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native codegen dot product over two float-array columns.
+/** Native codegen dot product over two float- or double-array columns.
   *
   * Replaces the `zip_with + aggregate` higher-order-function formulation,
   * which falls out of whole-stage codegen and allocates an intermediate
   * array per row — measured at sf0.1 (2M vector pairs, 64 dims): HOF form
   * ~19 s, this expression ~1 s (SURVEY §4.3: custom Expression only after
   * a measured BENCH need — this is that case).
+  *
+  * Each side may independently be array<float> or array<double> — the
+  * mixed form is the k-means assignment's hot path (float embedding ×
+  * double centroid), where the HOF fold was the dominant cost of the
+  * adaptive-k quantizer (n·k dot products per Lloyd pass).
   *
   * Semantics are identical to the HOF form and to the DuckDB oracle's
   * list_reduce fold: elements are widened float→double (exact) and
@@ -25,13 +30,25 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   // ExpectsInputTypes the input contract is checked explicitly.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"vec_dot expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+      s"vec_dot expects each input to be array<float> or array<double>, " +
+        s"got (${left.dataType}, ${right.dataType})")
   }
+
+  /** Per-side element width: widening float→double is exact, so reading a
+    * float element as `(double) getFloat(i)` and a double element as
+    * `getDouble(i)` yields the identical fold either way.
+    */
+  private def isDoubleSide(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private lazy val leftDouble = isDoubleSide(left)
+  private lazy val rightDouble = isDoubleSide(right)
 
   override def dataType: DataType = DoubleType
 
@@ -61,7 +78,9 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     var i = 0
     while (i < n) {
       if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (leftDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rightDouble) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xv * yv
       i += 1
     }
     acc
@@ -76,6 +95,8 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
         if (elementsNullable)
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
+      val xv = if (leftDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val yv = if (rightDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -84,7 +105,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $nullCheck
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += $xv * $yv;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}

@@ -375,15 +375,34 @@ object Vectors {
     * Round-2's cells were per-LABEL centroids — but labels here are not a
     * geometric partition (measured: only 3–20% of true top-3 neighbors
     * share the query's label across SFs), capping recall@3 at 0.30. These
-    * cells are geometric: k = 8 coarse centroids trained by k-means with
-    * every source of nondeterminism pinned — init = the embeddings of the
-    * 8 lowest vec_ids, exactly 2 Lloyd iterations, assignment argmax by
+    * cells are geometric: k ADAPTIVE coarse centroids trained by k-means
+    * with every source of nondeterminism pinned — init = the embeddings of
+    * the k lowest vec_ids, exactly 2 Lloyd iterations, assignment argmax by
     * (dot DESC, cell ASC), and means in the exact 2^52 fixed-point domain
     * (the aggVectorCentroid machinery) so Spark and the oracle compute
     * bit-identical centroids. Empty cells simply drop out (both engines
     * group only non-empty cells). Measured recall@3 vs brute force:
-    * 0.83–0.90 across sf0.001/0.01/0.1 (probe-2 of 8 cells = 1/4 of the
-    * corpus probed); the ExtrasSpec floor pins ≥ 0.6.
+    * 0.83–0.90 across sf0.001/0.01 (k = 8 there; probe-2 = 1/4 of the
+    * corpus probed); the ExtrasSpec floor pins ≥ 0.6 at sf0.001.
+    *
+    * ADAPTIVE k (the round-7 sf1 scale proof's one super-linear survivor,
+    * fixed with the LSH adaptive-bits template): a fixed k means cell
+    * occupancy n/k grows linearly with the corpus, so dedup_semantic's
+    * within-cell pair join — Σ cell² ≈ k·(n/k)² = n²/k — grows
+    * QUADRATICALLY (measured ×13.5/×25.7 at the 10× scale factor). k now
+    * targets constant occupancy, the same 125-row target the LSH bucket
+    * family uses: k = clamp(ceil(n / 125), 8, 4096). Pair work becomes
+    * 125·n — linear until the 4096-cell cap (n ≈ 512k; past it, train on
+    * a sample and shard the corpus per cell range). The formula is
+    * computed IN-PLAN (a 1-row aggregate broadcast onto the init rows) so
+    * the static SQL oracle applies the identical arithmetic — no literal
+    * baked at registration time can diverge from the data. At
+    * sf0.001/0.01 (n = 500) the clamp floors k at 8, so small-sf results,
+    * recall measurements, and the persisted-index artifacts are unchanged
+    * from the fixed-k rounds. The assignment pass costs n·k dots; at the
+    * occupancy target that is n²/125 asymptotically, which the cell cap
+    * bounds in practice (≤ 4096·n) — the classical IVF train-on-a-sample
+    * posture applies long before that matters at 100 TB.
     *
     * Scale posture unchanged: training at 100 TB runs on a sample (cells
     * are a tiny k×dim table either way); the corpus side only ever
@@ -391,23 +410,38 @@ object Vectors {
     * query cross-joins the broadcast k-row cell table, never the corpus.
     * Query set = vec_id < 10; top-3 per query.
     */
-  private val IvfK = 8
+  private val IvfMaxCells = 4096
   private val IvfIters = 2
+
+  /** The in-plan adaptive cell count: 1 row, column `k`. Oracle twin:
+    * [[ivfKSql]]. Occupancy target shared with [[LshTargetOccupancy]].
+    */
+  private def ivfKParams(emb: DataFrame): DataFrame =
+    emb.agg(
+      least(lit(IvfMaxCells), greatest(lit(8), ceil(count(lit(1)) / lit(LshTargetOccupancy))))
+        .cast("int").as("k"))
+
+  private def ivfKSql: String =
+    s"SELECT LEAST($IvfMaxCells, GREATEST(8, CAST(CEIL(COUNT(*) / $LshTargetOccupancy) AS INT))) AS k FROM embeddings"
 
   /** One Lloyd step: argmax-assign every vector to `cells` (cell, cvec),
     * then recompute exact fixed-point means per cell. Returns (cell, cvec).
+    *
+    * The argmax is a `max_by` HASH AGGREGATE, not a row_number window: the
+    * crossJoin emits n·k scored rows IN the scan's own partitions, so
+    * map-side partial aggregation collapses them back to n rows before any
+    * exchange — the window form shuffled and sorted all n·k rows, each
+    * carrying the full embedding array, and was the dominant cost of
+    * adaptive-k training (measured 62 s for ann_ivf at sf1/k=160; the
+    * max_by + vec_dot form retires it). Tie-break (dot DESC, cell ASC) is
+    * encoded as max over struct(ec_dot, -cell) — identical to the window's
+    * ordering and to the oracle's row_number.
     */
   private def kmeansStep(emb: DataFrame, cells: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ecDot = expr(
-      "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)")
-    val assigned = emb
-      .crossJoin(broadcast(cells.select(col("cell"), col("cvec"))))
-      .withColumn("ec_dot", ecDot)
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ec_dot").desc, col("cell").asc)))
-      .where(col("rn") === 1)
+    val assigned = scoredCells(emb, cells)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ec_dot"), (-col("cell")).as("nc"))).as("cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("cell"), col("embedding"))
     assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -420,8 +454,8 @@ object Vectors {
   }
 
   /** IVF approximate nearest neighbors: deterministic k-means coarse
-    * quantizer (k=8, 2 Lloyd iterations), probe-2 search. Recall@3
-    * 0.83–0.90 vs brute force (ExtrasSpec floor 0.6).
+    * quantizer (adaptive k — see ivfKParams — 2 Lloyd iterations), probe-2
+    * search. Recall@3 0.83–0.90 vs brute force (ExtrasSpec floor 0.6).
     *
     * COST ATTRIBUTION (bench): ~1.5 s of this query's wall time is the
     * k-means TRAINING (2 Lloyd steps, each a broadcast-assign + fixed-point
@@ -434,21 +468,25 @@ object Vectors {
     * in docs/BENCH_NOTES.md rather than hidden by caching model state
     * across bench iterations (which would measure neither regime honestly).
     */
-  /** Trained coarse quantizer: k deterministic k-means cells (cell, cvec).
-    * init: cell i = embedding of the i-th lowest vec_id (float→double per
-    * element — exact), i = 1..k. orderBy().limit() plans as
-    * TakeOrderedAndProject (per-partition top-k, no global sort); the
-    * round-4 form ranked the ENTIRE corpus through one unpartitioned
-    * window to keep 8 rows. The row_number window below runs over the
-    * k-row result only — bounded by construction.
+  /** Trained coarse quantizer: k deterministic k-means cells (cell, cvec),
+    * k adaptive (see the IVF scaladoc above). init: cell i = embedding of
+    * the i-th lowest vec_id (float→double per element — exact), i = 1..k.
+    * orderBy().limit() plans as TakeOrderedAndProject (per-partition
+    * top-k, no global sort) with the CONSTANT cell cap as the literal
+    * bound; the adaptive k then trims the capped result via the broadcast
+    * 1-row params aggregate — limit() needs a literal, the filter does
+    * not. The row_number window below runs over ≤ IvfMaxCells rows only —
+    * bounded by construction.
     */
   private def trainCells(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val init = emb
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id"))
-      .limit(IvfK)
+      .limit(IvfMaxCells)
       .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+      .crossJoin(broadcast(ivfKParams(emb)))
+      .where(col("cell") <= col("k"))
       .select(col("cell"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
     (1 to IvfIters).foldLeft(init)((c, _) => kmeansStep(emb, c))
   }
@@ -457,20 +495,44 @@ object Vectors {
     * the inverted file for every corpus vector, rank ≤ 2 rows of the query
     * subset are its probes — the k-means chain and its broadcast are
     * planned once instead of twice.
+    *
+    * Top-2 via collect_list + array_sort + slice inside one HASH AGGREGATE
+    * (same map-side-combine argument as [[kmeansStep]]'s max_by: the n·k
+    * scored rows collapse to n in place of the old window's full n·k
+    * shuffle-and-sort). The per-vector list holds k (nd, cell) structs —
+    * ≤ 16 bytes each, bounded by IvfMaxCells — and sorting ascending on
+    * (nd = -dot, cell) IS the window's (dot DESC, cell ASC) order.
     */
   private def assignTop2(emb: DataFrame, cells: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ecDot = expr(
-      "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)")
-    emb
-      .crossJoin(broadcast(cells.select(col("cell"), col("cvec"))))
-      .withColumn("ec_dot", ecDot)
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ec_dot").desc, col("cell").asc)))
-      .where(col("rn") <= 2)
+    scoredCells(emb, cells)
+      .groupBy(col("vec_id"))
+      .agg(
+        slice(
+          array_sort(collect_list(struct((-col("ec_dot")).as("nd"), col("cell")))),
+          1, 2).as("top2"))
+      .select(col("vec_id"), posexplode(col("top2")).as(Seq("pos", "best")))
+      .select(
+        col("vec_id"),
+        (col("pos") + 1).cast("int").as("rn"),
+        col("best.cell").as("cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("rn"), col("cell"), col("vec_id"), col("embedding"))
   }
+
+  /** The shared n·k scoring pass, pruned to THREE narrow columns before
+    * any aggregation: whole-stage codegen fuses the broadcast nested-loop
+    * join with this projection, so the 64-element embedding array is read
+    * for the vec_dot but never copied into the n·k intermediate rows —
+    * with it in the aggregate input (the first adaptive-k form), the
+    * assignment materialized ~n·k·256 B per pass and still cost 9.6 s at
+    * sf1/k=160. Consumers that need the embedding join it back by vec_id
+    * (n skinny rows against n wide rows — one co-partitioned join, not an
+    * n·k stream).
+    */
+  private def scoredCells(emb: DataFrame, cells: DataFrame): DataFrame =
+    emb
+      .crossJoin(broadcast(cells.select(col("cell"), col("cvec"))))
+      .select(col("vec_id"), col("cell"), dot(col("embedding"), col("cvec")).as("ec_dot"))
 
   /** Probe-2 search over a materialized top-2 assignment table. */
   private def probeAssigned(assigned2: DataFrame): DataFrame = {
@@ -556,7 +618,7 @@ object Vectors {
   }
 
   /** Index location: one directory per (scale-factor dir, SOURCE-DATA
-    * fingerprint) under the JVM temp root. The `v1` tag versions the index
+    * fingerprint) under the JVM temp root. The `v2` tag versions the index
     * FORMAT — bump it when the training recipe changes; the fingerprint
     * (size + mtime of every embeddings parquet part, ADVICE r6) keys the
     * index to the exact bytes it was trained on, so regenerating the
@@ -565,7 +627,7 @@ object Vectors {
     */
   private def ivfIndexDir(sf: String): String = {
     val tag = sf.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_v1/${tag}_${ivfSourceFingerprint(sf)}"
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_v2/${tag}_${ivfSourceFingerprint(sf)}"
   }
 
   private def ivfSourceFingerprint(sf: String): String = {
@@ -617,8 +679,9 @@ object Vectors {
   private def kmeansCellsCtes: String =
     s"""cells0 AS (
        |  SELECT cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (
-       |    SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding FROM embeddings)
-       |  WHERE cell <= $IvfK
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding FROM embeddings),
+       |    ($ivfKSql) p
+       |  WHERE cell <= p.k
        |), assign1 AS (
        |  ${assignCte("cells0")}
        |), cells1 AS (
