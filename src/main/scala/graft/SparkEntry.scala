@@ -18,7 +18,7 @@ object SparkEntry {
   private def allRegistries: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Relational.registry ++ Windows.registry ++ Scalars.registry ++
       TextOps.registry ++ Corpus.registry ++ CorpusPrep.registry ++
-      Curation.registry ++ EventAnalytics.registry ++
+      Curation.registry ++ EventAnalytics.registry ++ Retrieval.registry ++
       Vectors.registry ++ StreamShaped.registry ++
       ChangeDetect.registry ++ graft.multimodal.Multimodal.registry
 

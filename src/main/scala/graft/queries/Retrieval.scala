@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-level retrieval / distribution-quality operators: BM25 ranking,
+  * per-source distribution drift, and an n-gram LM perplexity proxy — the
+  * scoring family a training-data pipeline runs between dedup and mixing
+  * (quality-filter the corpus, monitor the source mixture, rank against a
+  * probe query).
+  *
+  * Cross-engine determinism discipline (SURVEY §7.4), applied throughout:
+  *   - every multi-term double SUM goes through the 2^40 fixed-point
+  *     domain (FLOOR first — Spark's double→long cast truncates while
+  *     DuckDB's rounds, FLOOR makes the value an exact integer before
+  *     either cast touches it), so aggregation order cannot change a bit;
+  *   - every libm transcendental (ln, log2) is ROUND(·, 8)ed at the point
+  *     it is produced: Spark and DuckDB may differ in the last ulp, and
+  *     8 dp is coarse enough to absorb that while fine enough to never
+  *     reorder two scores;
+  *   - both engines evaluate the same parenthesization of IEEE ops on
+  *     identical inputs — correctly-rounded +,-,*,/ agree bit-for-bit.
+  */
+object Retrieval {
+
+  /** 2^40: the shared fixed-point scale for score summation. Score terms
+    * are O(10), so 8 terms × 10 × 2^40 ≈ 2^46.3 — far inside int64.
+    */
+  private val Fx = 1099511627776.0
+  private val FxSql = "1099511627776.0"
+
+  /** The BM25 probe-term set: one rare token (`dup` — the near-duplicate
+    * marker the generator plants, df ≈ 1% of docs, idf ≈ 4.3) and three
+    * mid-frequency ones, so the ranking exercises the idf spread rather
+    * than degenerate to tf counting.
+    */
+  private val Bm25Terms = Seq("dup", "spark", "stream", "window")
+
+  // ------------------------------------------------------------ bm25_topk
+  /** BM25 (k1 = 1.2, b = 0.75) of every document against the fixed probe
+    * terms; top 20 by (score DESC, doc_id ASC).
+    *
+    * Shape at 100 TB: the token stream is filtered to the probe terms
+    * BEFORE the (token, doc) aggregation, so the tf table is |terms|-
+    * bounded per doc, df and corpus stats are tiny broadcast aggregates,
+    * and the only full-corpus passes are the tokenize (linear, map-side
+    * combined groupBy for dl) and the final TakeOrdered top-20. No
+    * windows, no all-pairs, nothing driver-side.
+    */
+  def bm25Topk(spark: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextOps.tokensCol).as("token"))
+      .where(col("token") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // n_docs counts docs with ≥1 token (= dl's row count) so both engines
+    // derive N from the same relation; avgdl = exact integer sum / count.
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks
+      .where(col("token").isin(Bm25Terms: _*))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = round(
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 8)
+    val tfFactor = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf
+      .join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), floor(idf * tfFactor * lit(Fx)).as("contrib_fx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        (sum(col("contrib_fx")).cast("double") / lit(Fx)).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val bm25TopkSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+       |  WHERE token <> ''
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+       |), tf AS (
+       |  SELECT token, doc_id, COUNT(*) AS tf FROM toks
+       |  WHERE token IN ($terms) GROUP BY token, doc_id
+       |), dfreq AS (
+       |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(FLOOR(
+       |      ROUND(LN((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 8)
+       |      * ((tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+       |      * $FxSql) AS BIGINT) AS contrib_fx
+       |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+       |)
+       |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(contrib_fx) AS DOUBLE) / $FxSql AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
+  // ------------------------------------------------------ source_kl_drift
+  /** Per-source token-distribution drift vs the whole corpus: the
+    * observed-support KL contribution Σ_t p_t · log2(p_t / q_t) in bits,
+    * with add-1 smoothing over the corpus vocabulary (p = source
+    * distribution, q = corpus distribution, t ranging over the source's
+    * OBSERVED tokens — the standard practical truncation; a source whose
+    * distribution equals the corpus's scores exactly 0). This is the
+    * mixture-monitoring gauge: a drifting source (new crawl snapshot,
+    * changed extractor) moves before eyeballing samples would catch it.
+    *
+    * Shape: three token-keyed groupBys (all map-side combined) + two 1-row
+    * aggregates broadcast onto a |vocab_s|-sized stream per source. Linear
+    * in tokens, output = one row per source.
+    */
+  def sourceKlDrift(spark: SparkSession, sf: String): DataFrame = {
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), explode(TextOps.tokensCol).as("token"))
+      .where(col("token") =!= "")
+    val srcTok = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
+    val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val corpusTok = toks.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+    val vocab = corpusTok.agg(count(lit(1)).as("v"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val p = (col("c_st") + lit(1.0)) / (col("n_s") + col("v"))
+    val q = (col("c_t") + lit(1.0)) / (col("n") + col("v"))
+    srcTok
+      .join(broadcast(corpusTok), Seq("token"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(p * round(log2(p / q), 8) * lit(Fx)).as("term_fx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens_observed"),
+        (sum(col("term_fx")).cast("double") / lit(Fx)).as("kl_bits"))
+      .orderBy(col("source"))
+  }
+
+  val sourceKlDriftSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, token FROM (
+       |    SELECT source, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+       |  WHERE token <> ''
+       |), src_tok AS (
+       |  SELECT source, token, COUNT(*) AS c_st FROM toks GROUP BY source, token
+       |), src_tot AS (
+       |  SELECT source, COUNT(*) AS n_s FROM toks GROUP BY source
+       |), corpus_tok AS (
+       |  SELECT token, COUNT(*) AS c_t FROM toks GROUP BY token
+       |), vocab AS (SELECT COUNT(*) AS v FROM corpus_tok
+       |), tot AS (SELECT COUNT(*) AS n FROM toks
+       |), terms AS (
+       |  SELECT source,
+       |    CAST(FLOOR(
+       |      ((c_st + CAST(1.0 AS DOUBLE)) / (n_s + v))
+       |      * ROUND(LOG2(((c_st + CAST(1.0 AS DOUBLE)) / (n_s + v)) / ((c_t + CAST(1.0 AS DOUBLE)) / (n + v))), 8)
+       |      * $FxSql) AS BIGINT) AS term_fx
+       |  FROM src_tok JOIN corpus_tok USING (token) JOIN src_tot USING (source)
+       |  CROSS JOIN vocab CROSS JOIN tot
+       |)
+       |SELECT source, COUNT(*) AS n_tokens_observed,
+       |  CAST(SUM(term_fx) AS DOUBLE) / $FxSql AS kl_bits
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------ bigram_lm_score
+  /** Char-bigram language-model negative log-likelihood per document — the
+    * perplexity-proxy quality signal (CCNet-style: score every doc against
+    * a LM trained on the corpus itself; outliers are mojibake, boilerplate
+    * or noise). The LM is the corpus's own bigram MLE: p(b|a) =
+    * c(ab) / c(a·), with c(a·) counting `a` as a bigram PREFIX so the
+    * conditional is exactly normalized. avg_nll is in bits per bigram;
+    * every doc scores (chars ≥ 2 guaranteed by the tokenized corpus).
+    *
+    * Shape: one explode pass over all chars (linear), two count tables
+    * that are vocabulary-bounded (≤ |charset|² rows — broadcast), one
+    * doc-keyed fixed-point sum. No windows, no driver loops.
+    */
+  def bigramLmScore(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val big = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 2)").as("bg"))
+    val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = big
+      .select(expr("substring(bg, 1, 1)").as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    big
+      .join(broadcast(c2), Seq("bg"))
+      .join(broadcast(c1.withColumnRenamed("a", "bg_a")),
+        expr("substring(bg, 1, 1) = bg_a"))
+      .select(col("doc_id"),
+        floor(round(log2(col("c2") / col("c1")), 8) * lit(Fx)).as("ll_fx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((-sum(col("ll_fx"))).cast("double") / lit(Fx) / count(lit(1))).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLmScoreSql: String =
+    s"""WITH big AS (
+       |  SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg FROM (
+       |    SELECT doc_id, text, unnest(range(1, length(text))) AS i FROM documents)
+       |), c2 AS (
+       |  SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg
+       |), c1 AS (
+       |  SELECT substr(bg, 1, 1) AS a, COUNT(*) AS c1 FROM big GROUP BY 1
+       |), scored AS (
+       |  SELECT doc_id,
+       |    CAST(FLOOR(ROUND(LOG2(c2.c2 / c1.c1), 8) * $FxSql) AS BIGINT) AS ll_fx
+       |  FROM big JOIN c2 USING (bg) JOIN c1 ON substr(big.bg, 1, 1) = c1.a
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(-SUM(ll_fx) AS DOUBLE) / $FxSql / COUNT(*) AS avg_nll
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("bm25_topk", bm25Topk _, bm25TopkSql),
+    ("source_kl_drift", sourceKlDrift _, sourceKlDriftSql),
+    ("bigram_lm_score", bigramLmScore _, bigramLmScoreSql)
+  )
+}
