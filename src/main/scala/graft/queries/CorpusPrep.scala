@@ -122,6 +122,63 @@ object CorpusPrep {
       |  CASE WHEN lang = 'en' THEN '40' ELSE '80' END
       |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- weighted sample
+  /** Deterministic weighted sampling without replacement (A-ES / Efraimidis
+    * –Spirakis exponential race): per language, keep the 8 documents with
+    * the largest u^(1/w) — equivalently the largest ln(u)/w — where w =
+    * n_chars (longer docs proportionally likelier, the quality-weighted
+    * subsampling shape) and u ∈ (0, 1] is a PORTABLE hash-uniform: the
+    * first 13 md5 hex digits of (doc_id, salt) as a 52-bit integer,
+    * (h + 1) / 2^52. No rand(): the race key is a pure function of the
+    * row, so the sample is identical across reruns, retries and cluster
+    * layouts — and ln is ROUND(·, 8)ed at production per the house
+    * cross-engine discipline.
+    *
+    * Scale shape: the top-8-per-lang is TWO-PHASE — a salted
+    * (lang, doc_id%64) collect-sort-slice partial top-8, then the final
+    * window over ≤ 64·8 rows per language. A bare window partitioned by
+    * lang would give one reducer per language at 100 TB; here the window
+    * input is bounded by construction and the heavy pass is a map-side-
+    * combined aggregation. Exact: pruning non-top-8-of-a-salt rows can
+    * never remove a global top-8 row.
+    */
+  def weightedSample(spark: SparkSession, sf: String): DataFrame = {
+    val race = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        (round(
+          log((conv(
+            substring(md5(concat(col("doc_id").cast("string"), lit("#wsamp:13")).cast("binary")), 1, 13),
+            16, 10).cast("long") + lit(1)) / lit(4503599627370496.0)), 8)
+          / col("n_chars")).as("race_key"))
+    val partial = race
+      .groupBy(col("lang"), pmod(col("doc_id"), lit(64)).as("salt"))
+      .agg(slice(
+        array_sort(collect_list(struct((-col("race_key")).as("nk"), col("doc_id"), col("n_chars")))),
+        1, 8).as("top"))
+      .select(col("lang"), explode(col("top")).as("t"))
+      .select(col("lang"), col("t.doc_id").as("doc_id"),
+        col("t.n_chars").as("n_chars"), (-col("t.nk")).as("race_key"))
+    partial
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("race_key").desc, col("doc_id").asc)))
+      .where(col("rn") <= 8)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("race_key"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH race AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ROUND(LN((CAST(('0x' || substring(md5(doc_id || '#wsamp:13'), 1, 13)) AS BIGINT) + 1)
+      |      / 4503599627370496.0), 8) / n_chars AS race_key
+      |  FROM documents
+      |)
+      |SELECT lang, doc_id, n_chars, race_key FROM (
+      |  SELECT lang, doc_id, n_chars, race_key,
+      |    row_number() OVER (PARTITION BY lang ORDER BY race_key DESC, doc_id ASC) AS rn
+      |  FROM race)
+      |WHERE rn <= 8 ORDER BY lang, doc_id""".stripMargin
+
   // ----------------------------------------------------- PII scrubbing
   /** PII redaction: email and phone patterns found, counted, and replaced
     * with typed placeholder tokens. The synthetic corpus contains no PII,
@@ -473,6 +530,7 @@ object CorpusPrep {
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("pack_sequences", packSequences _, packSequencesSql),
     ("stratified_sample", stratifiedSample _, stratifiedSampleSql),
+    ("weighted_sample", weightedSample _, weightedSampleSql),
     ("pii_scrub", piiScrub _, piiScrubSql),
     ("source_mix_report", sourceMixReport _, sourceMixReportSql),
     ("vocab_coverage", vocabCoverage _, vocabCoverageSql),

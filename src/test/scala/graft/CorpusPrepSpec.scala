@@ -165,4 +165,38 @@ class CorpusPrepSpec extends AnyFunSuite {
       assert(toks >= lo * n && toks <= (lo + 9) * n, s"bin $lo")
     }
   }
+
+  test("weighted_sample: exponential race recomputes from md5; weights bias toward longer docs") {
+    val got = CorpusPrep.weightedSample(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("lang"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent A-ES recompute: u from the md5 prefix, key = r8(ln u)/w,
+    // top-8 per lang by (key DESC, doc_id ASC)
+    def r8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def key(docId: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$docId#wsamp:13".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1L) / 4503599627370496.0
+      r8(math.log(u)) / w
+    }
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      ds.map { case (_, id, w) => (lang, id, w, key(id, w)) }
+        .sortBy { case (_, id, _, k) => (-k, id) }
+        .take(8)
+    }.sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case ((_, id, _, gK), (_, _, _, eK)) =>
+      assert(math.abs(gK - eK) <= 1e-9, s"doc $id: got $gK expected $eK")
+    }
+    // per-group size exactly 8 (corpus has >= 8 docs per lang at sf0.001)
+    got.groupBy(_._1).foreach { case (lang, rows) => assert(rows.length === 8, lang) }
+    // length-weighting bias: sampled docs are longer than the corpus mean
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
 }
