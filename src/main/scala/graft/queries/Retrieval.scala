@@ -224,9 +224,61 @@ object Retrieval {
        |  CAST(-SUM(ll_fx) AS DOUBLE) / $FxSql / COUNT(*) AS avg_nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- ngram_novelty
+  /** Per-document n-gram novelty: the share of a doc's DISTINCT 3-gram
+    * shingles that occur in no other document (document frequency 1).
+    * Low novelty flags boilerplate/near-duplicate text the exact-dedup
+    * family missed; the same statistic, run against a held-out benchmark
+    * instead of the corpus itself, is the memorization-risk screen.
+    *
+    * All arithmetic is integer until the single final ratio division, so
+    * both engines agree bit-for-bit without any fixed-point machinery.
+    *
+    * Shape: one shingle explode (linear), a per-doc DISTINCT (doc-keyed
+    * shuffle), one shingle-keyed df aggregation (map-side combined)
+    * joined back onto the distinct stream, one doc-keyed count. The df
+    * join's hot keys (common shingles) are exactly the AQE-splittable
+    * stream side; nothing is all-pairs.
+    */
+  def ngramNovelty(spark: SparkSession, sf: String): DataFrame = {
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokensCol.as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("sh"))
+      .distinct()
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramNoveltySql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+      |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      |    WHERE len(t) >= 3)
+      |), dfreq AS (
+      |  SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+      |)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+      |FROM sh JOIN dfreq USING (sh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("bm25_topk", bm25Topk _, bm25TopkSql),
     ("source_kl_drift", sourceKlDrift _, sourceKlDriftSql),
-    ("bigram_lm_score", bigramLmScore _, bigramLmScoreSql)
+    ("bigram_lm_score", bigramLmScore _, bigramLmScoreSql),
+    ("ngram_novelty", ngramNovelty _, ngramNoveltySql)
   )
 }

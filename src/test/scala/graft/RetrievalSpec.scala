@@ -130,4 +130,26 @@ class RetrievalSpec extends AnyFunSuite {
       assert(sum === ca, s"prefix '$a': ${sum} vs ${ca}")
     }
   }
+
+  test("ngram_novelty: recomputes from distinct shingle dfs; ratio bounds hold") {
+    val got = Retrieval.ngramNovelty(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    def shingles(ts: Seq[String]): Set[String] =
+      if (ts.size < 3) Set.empty
+      else (0 to ts.size - 3).map(i => s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}").toSet
+    val perDoc = tokenized.map { case (id, _, ts) => id -> shingles(ts) }.filter(_._2.nonEmpty)
+    val df = perDoc.flatMap(_._2).groupBy(identity).map { case (s, xs) => s -> xs.size }
+    assert(got.map(_._1).toSet === perDoc.map(_._1).toSet)
+    val byId = perDoc.toMap
+    got.foreach { case (id, nSh, nNovel, novelty) =>
+      val sh = byId(id)
+      assert(nSh === sh.size.toLong)
+      val novel = sh.count(df(_) == 1).toLong
+      assert(nNovel === novel, s"doc $id")
+      assert(novelty === novel.toDouble / sh.size)
+      assert(novelty >= 0.0 && novelty <= 1.0)
+    }
+    // a shingle counted novel for one doc appears in no other doc's set
+    assert(got.exists(_._3 > 0), "fixture has at least one novel shingle")
+  }
 }
