@@ -841,6 +841,79 @@ object Vectors {
       |    x -> CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS INT)), ',') AS qvec
       |FROM n ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------------------------- cluster topics
+  /** Topic profile of the embedding space: assign every vector to its
+    * k-means cell (the SAME adaptive-k quantizer the IVF index and
+    * semantic dedup train), join the matching documents (vec_id = doc_id
+    * — the corpus subset that has embeddings), and report each cell's
+    * top-3 tokens by LIFT = p(token | cell) / p(token), computed over the
+    * embedded subset. This is the corpus-cartography step: a human-
+    * readable label per cluster, the sanity check that semantic dedup's
+    * cells mean something — and at deployment the assignment is the
+    * persisted IVF artifact, so the profile costs one tokenize + three
+    * token-keyed aggregations on top of an index that already exists.
+    *
+    * Lift arithmetic: both factors are cast to double BEFORE multiplying
+    * (overflow-safe at any corpus size; identical parenthesization both
+    * engines). The top-3 window runs per cell over the vocabulary-bounded
+    * (cell, token) table, never the token stream.
+    */
+  def clusterTopics(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val cells = trainCells(emb).localCheckpoint()
+    val inv = scoredCells(emb, cells)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ec_dot"), (-col("cell")).as("nc"))).as("cell"))
+    val toks = inv
+      .join(Tables.documents(spark, sf).select(col("doc_id"), TextOps.tokensCol.as("t")),
+        col("doc_id") === col("vec_id"))
+      .select(col("cell"), explode(col("t")).as("token"))
+      .where(col("token") =!= "")
+    val ctc = toks.groupBy(col("cell"), col("token")).agg(count(lit(1)).as("c_tc"))
+    val nc = toks.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
+    val ct = toks.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+    val nt = toks.agg(count(lit(1)).as("n_tot"))
+    val lift = (col("c_tc").cast("double") * col("n_tot")) /
+      (col("n_c").cast("double") * col("c_t"))
+    ctc
+      .join(broadcast(nc), Seq("cell"))
+      .join(broadcast(ct), Seq("token"))
+      .crossJoin(broadcast(nt))
+      .withColumn("lift", lift)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("lift").desc, col("token").asc)))
+      .where(col("rank") <= 3)
+      .select(col("cell").cast("long").as("cell"), col("rank").cast("long").as("rank"),
+        col("token"), col("c_tc"), col("lift"))
+      .orderBy(col("cell"), col("rank"))
+  }
+
+  val clusterTopicsSql: String =
+    s"""WITH $kmeansCellsCtes, inv AS (
+       |  SELECT cell, vec_id FROM (
+       |    SELECT c.cell, e.vec_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cellDot("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cells2 c)
+       |  WHERE rn = 1
+       |), toks AS (
+       |  SELECT i.cell, token FROM inv i JOIN (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents) d
+       |  ON d.doc_id = i.vec_id
+       |  WHERE token <> ''
+       |), ctc AS (SELECT cell, token, COUNT(*) AS c_tc FROM toks GROUP BY cell, token
+       |), nc AS (SELECT cell, COUNT(*) AS n_c FROM toks GROUP BY cell
+       |), ct AS (SELECT token, COUNT(*) AS c_t FROM toks GROUP BY token
+       |), nt AS (SELECT COUNT(*) AS n_tot FROM toks)
+       |SELECT cell, rank, token, c_tc, lift FROM (
+       |  SELECT ctc.cell, token, c_tc,
+       |    (CAST(c_tc AS DOUBLE) * n_tot) / (CAST(n_c AS DOUBLE) * c_t) AS lift,
+       |    row_number() OVER (PARTITION BY ctc.cell ORDER BY
+       |      (CAST(c_tc AS DOUBLE) * n_tot) / (CAST(n_c AS DOUBLE) * c_t) DESC, token ASC) AS rank
+       |  FROM ctc JOIN nc USING (cell) JOIN ct USING (token) CROSS JOIN nt)
+       |WHERE rank <= 3 ORDER BY cell, rank""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("knn_brute_force", knnBruteForce _, knnBruteForceSql),
     ("cosine_topk", cosineTopk _, cosineTopkSql),
@@ -854,6 +927,7 @@ object Vectors {
     ("embedding_quantize", embeddingQuantize _, embeddingQuantizeSql),
     ("dedup_semantic", dedupSemantic _, dedupSemanticSql),
     // identical deterministic output by construction — same oracle
-    ("dedup_semantic_probe", dedupSemanticProbe _, dedupSemanticSql)
+    ("dedup_semantic_probe", dedupSemanticProbe _, dedupSemanticSql),
+    ("cluster_topics", clusterTopics _, clusterTopicsSql)
   )
 }

@@ -152,4 +152,41 @@ class RetrievalSpec extends AnyFunSuite {
     // a shingle counted novel for one doc appears in no other doc's set
     assert(got.exists(_._3 > 0), "fixture has at least one novel shingle")
   }
+
+  test("cluster_topics: shape invariants and exact recompute from the persisted IVF assignment") {
+    import graft.queries.Vectors
+    val got = Vectors.clusterTopics(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4))).toSeq
+    // 3 contiguous ranks per cell, lift descending with token tie-break
+    got.groupBy(_._1).foreach { case (cell, rows) =>
+      assert(rows.map(_._2).sorted === Seq(1L, 2L, 3L), s"cell $cell")
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, tA, _, lA), (_, _, tB, _, lB)) =>
+          assert(lA > lB || (lA == lB && tA < tB), s"cell $cell ordering")
+        case _ => ()
+      }
+    }
+    assert(got.forall(r => r._4 >= 1L && r._5 > 0.0))
+    // independent recompute from the persisted IVF index (deterministic
+    // training => identical assignment) + raw doc tokens
+    val dir = Vectors.buildIvfIndex(spark, Sf0001)
+    val inv = spark.read.parquet(s"$dir/assigned")
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val toks = tokenized.flatMap { case (id, _, ts) =>
+      inv.get(id).toSeq.flatMap(c => ts.map(c -> _))
+    }
+    val ctc = toks.groupBy(identity).map { case ((c, t), xs) => (c, t) -> xs.size.toLong }
+    val nc = toks.groupBy(_._1).map { case (c, xs) => c -> xs.size.toLong }
+    val ct = toks.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val nTot = toks.size.toLong
+    val expected = ctc.toSeq.map { case ((c, t), n) =>
+      (c, t, n, (n.toDouble * nTot) / (nc(c).toDouble * ct(t)))
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (_, t, _, l) => (-l, t) }.take(3).zipWithIndex
+        .map { case ((c, t, n, l), i) => (c, i + 1L, t, n, l) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === expected)
+  }
 }
