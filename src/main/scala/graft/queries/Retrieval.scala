@@ -185,7 +185,11 @@ object Retrieval {
     * doc-keyed fixed-point sum. No windows, no driver loops.
     */
   def bigramLmScore(spark: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // spreadSmallScan (harness-gated): the char explode + map-side count
+    // partials above the scan are the hot path — one task per parquet
+    // row group otherwise at fixture SFs (same treatment as minhash).
+    val docs = Det.spreadSmallScan(spark, Tables.documents(spark, sf))
+      .select(col("doc_id"), col("text"))
     val big = docs
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
@@ -241,7 +245,9 @@ object Retrieval {
     * stream side; nothing is all-pairs.
     */
   def ngramNovelty(spark: SparkSession, sf: String): DataFrame = {
-    val sh = Tables.documents(spark, sf)
+    // spreadSmallScan: same argument as bigramLmScore's — the shingle
+    // explode is the heavy pre-shuffle pass.
+    val sh = Det.spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(col("doc_id"), TextOps.tokensCol.as("t"))
       .where(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
