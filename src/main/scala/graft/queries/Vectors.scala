@@ -859,12 +859,35 @@ object Vectors {
     * (cell, token) table, never the token stream.
     */
   def clusterTopics(spark: SparkSession, sf: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, sf)
     val cells = trainCells(emb).localCheckpoint()
     val inv = scoredCells(emb, cells)
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("ec_dot"), (-col("cell")).as("nc"))).as("cell"))
+    topicsFromAssignment(spark, sf, inv)
+  }
+
+  /** The persisted-quantizer regime of [[clusterTopics]] (same pattern as
+    * [[annIvfProbe]] / [[dedupSemanticProbe]]): reads the on-disk top-2
+    * assignment the IVF index ships and keeps only rank-1 rows, so the
+    * per-call cost is the tokenize + three token-keyed aggregations.
+    * Training is deterministic, so output is identical — same oracle.
+    */
+  def clusterTopicsProbe(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ivfIndexDir(sf)
+    val marker = new java.io.File(s"$dir/assigned/_SUCCESS")
+    val resolved = if (marker.exists()) dir else buildIvfIndex(spark, sf)
+    val inv = spark.read.parquet(s"$resolved/assigned")
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+    topicsFromAssignment(spark, sf, inv)
+  }
+
+  /** Shared tail of [[clusterTopics]] / [[clusterTopicsProbe]]: token lift
+    * profile over a (vec_id, cell) assignment.
+    */
+  private def topicsFromAssignment(spark: SparkSession, sf: String, inv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = inv
       .join(Tables.documents(spark, sf).select(col("doc_id"), TextOps.tokensCol.as("t")),
         col("doc_id") === col("vec_id"))
@@ -928,6 +951,8 @@ object Vectors {
     ("dedup_semantic", dedupSemantic _, dedupSemanticSql),
     // identical deterministic output by construction — same oracle
     ("dedup_semantic_probe", dedupSemanticProbe _, dedupSemanticSql),
-    ("cluster_topics", clusterTopics _, clusterTopicsSql)
+    ("cluster_topics", clusterTopics _, clusterTopicsSql),
+    // identical deterministic output by construction — same oracle
+    ("cluster_topics_probe", clusterTopicsProbe _, clusterTopicsSql)
   )
 }

@@ -188,5 +188,8 @@ class RetrievalSpec extends AnyFunSuite {
         .map { case ((c, t, n, l), i) => (c, i + 1L, t, n, l) }
     }.sortBy(r => (r._1, r._2))
     assert(got === expected)
+    // probe regime (persisted index) is bit-identical to in-query training
+    val probe = Vectors.clusterTopicsProbe(spark, Sf0001).collect().map(_.toSeq)
+    assert(probe === Vectors.clusterTopics(spark, Sf0001).collect().map(_.toSeq))
   }
 }
