@@ -192,4 +192,15 @@ class RetrievalSpec extends AnyFunSuite {
     val probe = Vectors.clusterTopicsProbe(spark, Sf0001).collect().map(_.toSeq)
     assert(probe === Vectors.clusterTopics(spark, Sf0001).collect().map(_.toSeq))
   }
+
+  test("adaptive-k formula pins: k = clamp(ceil(n/125), 8, 4096) at the fixture SFs") {
+    import graft.queries.Vectors
+    // cluster_topics emits exactly 3 rows per non-empty cell, so its cell
+    // count IS the trained k (cells can only drop if empty — none are on
+    // this data). n=500 -> floor clamp k=8; n=2000 -> k=16.
+    def cells(sf: String): Long =
+      Vectors.clusterTopics(spark, sf).select(col("cell")).distinct().count()
+    assert(cells(Sf0001) === 8L, "sf0.001 (n=500) must floor at k=8")
+    assert(cells("/root/testdata/sf0.1") === 16L, "sf0.1 (n=2000) must train k=16")
+  }
 }
