@@ -80,6 +80,22 @@ object StreamOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("w.start").as("hour_start"), col("n_events"), col("total_value"))
 
+  // ------------------------------------------------- drift monitor (obs)
+  /** The in-stream half of the event-mix drift monitor: hourly per-type
+    * counts with a watermark — bounded state (one count per open window ×
+    * type), append-able once the watermark passes. The χ² alerting job
+    * (graft.queries.StreamShaped.streamDriftChi2) runs over this
+    * monitor's sink; splitting the statistic out of the stream keeps the
+    * streaming query single-aggregation (no chained stateful operators)
+    * and lets the alert re-weigh history without replaying the stream.
+    */
+  def driftObs(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("obs"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("obs"))
+
   // ---------------------------------------------------------------- §2.J7
   /** Stream–stream interval join: each click joins the same user's view
     * events from the preceding 30 minutes (attribution). BOTH sides carry

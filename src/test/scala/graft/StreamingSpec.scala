@@ -57,6 +57,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) === sortedRows(want))
   }
 
+  test("drift monitor: streaming hourly per-type counts == batch; chi2 over the sink == the registered query") {
+    val got = runStream(StreamOps.driftObs(streamEvents), "complete", "driftobs")
+    val want = StreamOps.driftObs(batchEvents)
+    assert(sortedRows(got) === sortedRows(want))
+    // the alerting job over the monitor's sink reproduces the registered
+    // batch query exactly: recompute chi2 from the streamed observation
+    // table and compare with stream_drift_chi2's registered output
+    val Fx = 1099511627776.0
+    // hour_start surfaces as java.sql.Timestamp from the staged stream but
+    // TIMESTAMP_NTZ (LocalDateTime) from the registered query — normalize
+    // both to the ISO LocalDateTime string (sorts chronologically)
+    def tsKey(x: Any): String = x match {
+      case t: java.sql.Timestamp => t.toLocalDateTime.toString
+      case other => other.toString
+    }
+    val obs = got.collect().map(r => (tsKey(r.get(0)), r.getString(1), r.getLong(2))).toSeq
+    val n = obs.map(_._3).sum
+    val ct = obs.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3).sum }
+    val nw = obs.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._3).sum }
+    val byKey = obs.map(r => (r._1, r._2) -> r._3).toMap
+    val expected = nw.toSeq.map { case (w, nWin) =>
+      val fx = ct.toSeq.map { case (t, c) =>
+        val e = (c.toDouble / n) * nWin
+        val o = byKey.getOrElse((w, t), 0L)
+        math.floor(((o - e) * (o - e)) / e * Fx).toLong
+      }.sum
+      (w, ct.size.toLong, fx.toDouble / Fx)
+    }.sortBy(_._1)
+    val registered = graft.queries.StreamShaped.streamDriftChi2(spark, Sf0001)
+      .collect().map(r => (tsKey(r.get(0)), r.getLong(1), r.getDouble(2))).toSeq
+    assert(registered === expected)
+  }
+
   test("J7 stream-stream interval join (click->view attribution): streaming == batch twin") {
     val got = runStream(
       StreamOps.clickViewAttribution(
