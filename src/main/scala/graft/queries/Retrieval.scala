@@ -48,7 +48,12 @@ object Retrieval {
     * combined groupBy for dl) and the final TakeOrdered top-20. No
     * windows, no all-pairs, nothing driver-side.
     */
-  def bm25Topk(spark: SparkSession, sf: String): DataFrame = {
+  /** Registered binding: the fixture probe-term set, top-20. */
+  def bm25Topk(spark: SparkSession, sf: String): DataFrame =
+    bm25Topk(spark, sf, Bm25Terms, 20)
+
+  /** Library entry point: caller-chosen probe terms and result size. */
+  def bm25Topk(spark: SparkSession, sf: String, terms: Seq[String], k: Int): DataFrame = {
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"), explode(TextOps.tokensCol).as("token"))
       .where(col("token") =!= "")
@@ -59,7 +64,7 @@ object Retrieval {
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = toks
-      .where(col("token").isin(Bm25Terms: _*))
+      .where(col("token").isin(terms: _*))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -76,7 +81,7 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"),
         (sum(col("contrib_fx")).cast("double") / lit(Fx)).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(20)
+      .limit(k)
   }
 
   val bm25TopkSql: String = {

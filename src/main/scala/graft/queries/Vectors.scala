@@ -886,7 +886,8 @@ object Vectors {
   /** Shared tail of [[clusterTopics]] / [[clusterTopicsProbe]]: token lift
     * profile over a (vec_id, cell) assignment.
     */
-  private def topicsFromAssignment(spark: SparkSession, sf: String, inv: DataFrame): DataFrame = {
+  private def topicsFromAssignment(spark: SparkSession, sf: String, inv: DataFrame,
+      topN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = inv
       .join(Tables.documents(spark, sf).select(col("doc_id"), TextOps.tokensCol.as("t")),
@@ -906,7 +907,7 @@ object Vectors {
       .withColumn("lift", lift)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("cell")).orderBy(col("lift").desc, col("token").asc)))
-      .where(col("rank") <= 3)
+      .where(col("rank") <= topN)
       .select(col("cell").cast("long").as("cell"), col("rank").cast("long").as("rank"),
         col("token"), col("c_tc"), col("lift"))
       .orderBy(col("cell"), col("rank"))
