@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomContains, NfcNormalize, VecDot}
+import graft.functions.{BloomContains, MinGramMd5, NfcNormalize, VecDot}
 
 /** Session extension (SURVEY §2.K4 surface): registers the library's native
   * functions into the SQL function registry, so the raw-SQL surface
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
+    ext.injectFunction(GraftExtensions.minGramMd5Descriptor)
   }
 }
 
@@ -81,6 +82,30 @@ object GraftExtensions {
       case other => wrongNumArgs("bloom_contains", 2, other.size)
     })
 
+  val minGramMd5Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("min_gram_md5"),
+    new ExpressionInfo(
+      classOf[MinGramMd5].getCanonicalName,
+      null,
+      "min_gram_md5",
+      "min_gram_md5(s, n) - minimum md5 hex over all character n-grams of s " +
+        "(n a positive integer literal); NULL when s has fewer than n characters",
+      ""),
+    {
+      case Seq(s, n) if n.foldable =>
+        n.eval() match {
+          case i: Int if i >= 1 => MinGramMd5(s, i)
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`min_gram_md5`",
+              "expectedNum" -> "2 (n a positive integer literal)",
+              "actualNum" -> String.valueOf(other),
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+      case other => wrongNumArgs("min_gram_md5", 2, other.size)
+    })
+
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -89,5 +114,7 @@ object GraftExtensions {
       nfcNormalizeDescriptor._1, nfcNormalizeDescriptor._2, nfcNormalizeDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       bloomContainsDescriptor._1, bloomContainsDescriptor._2, bloomContainsDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minGramMd5Descriptor._1, minGramMd5Descriptor._2, minGramMd5Descriptor._3)
   }
 }

@@ -764,22 +764,24 @@ object TextOps {
     * char 8-grams — robust to token reordering at the edges; any two docs
     * sharing their minimal 8-gram hash collide. One fingerprint per doc.
     *
-    * Computed as a per-row `aggregate` fold over the position sequence —
-    * NOT explode + groupBy. The explode form emits length(text)−7 rows per
-    * document through a shuffle (~8× data blow-up at 100 TB); the fold is
-    * O(1) memory per row, zero extra rows, zero shuffles (`least` skips
-    * the NULL seed, so the fold needs no special first element).
+    * Computed by the native codegen expression
+    * [[graft.functions.MinGramMd5]] — one tight digest loop per row, zero
+    * extra rows, zero shuffles. Two rejected formulations, both measured
+    * under the honest noop-sink action (BENCH_NOTES round-7 session 3):
+    * the `aggregate(sequence(...))` HOF fold evaluates an interpreted
+    * lambda + 3 allocations per position (4.07 s at sf0.1 vs ~0.15 s
+    * native); explode + min/groupBy stays codegen'd but pushes
+    * length(text)−7 rows per document through the pipeline before the
+    * map-side combine collapses them. Output is bit-identical to both
+    * (and to the DuckDB twin): same char-based grams, same md5-hex min.
     */
   def docFingerprint(spark: SparkSession, sf: String): DataFrame =
-    Tables
-      .documents(spark, sf)
+    Det
+      .spreadSmallScan(spark, Tables.documents(spark, sf))
       .where(length(col("text")) >= 8)
       .select(
         col("doc_id"),
-        expr(
-          "aggregate(sequence(1, length(text) - 7), CAST(NULL AS STRING), " +
-            "(acc, i) -> least(acc, md5(CAST(substring(text, i, 8) AS BINARY))))")
-          .as("fingerprint"))
+        graft.functions.MinGramMd5.min_gram_md5(col("text"), 8).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   val docFingerprintSql: String =

@@ -1,7 +1,6 @@
 // scratch experiment main — not part of the library surface
 package graft.tools
 
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Ad-hoc micro-benchmarks for plan experiments; edited freely between
@@ -12,6 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * numbers are recorded in docs/BENCH_NOTES.md; the rejected variants were
   * deleted here once measured so this file can never silently compare a
   * landed plan against itself.
+  *
+  * Session-3 note: the harness materializes via the noop sink, matching
+  * Bench. A count()-based timing here mis-attributed quality_calibration
+  * as 8× its sibling — count() had pruned the sibling's entire projection
+  * (the finding that motivated Bench's action change; BENCH_NOTES).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -26,11 +30,13 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val action = sys.env.getOrElse("SPARK_GRAFT_ACTION", "noop")
     def time(name: String, f: => DataFrame): Unit = {
       for (i <- 1 to 4) {
         val t0 = System.nanoTime()
-        val n = f.count()
-        println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
+        if (action == "count") f.count()
+        else f.write.mode("overwrite").format("noop").save()
+        println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
 

@@ -93,4 +93,57 @@ class RegistryLintSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
+
+  test("MinGramMd5 codegen expression is bit-identical to the HOF fold it replaced") {
+    // regression guard for the 4th custom Expression: same char-based
+    // grams, same md5-hex minimum as the aggregate(sequence(...)) form
+    val hof = expr(
+      "aggregate(sequence(1, length(text) - 7), CAST(NULL AS STRING), " +
+        "(acc, i) -> least(acc, md5(CAST(substring(text, i, 8) AS BINARY))))")
+    val diff = Tables.documents(spark, Sf0001)
+      .where(length(col("text")) >= 8)
+      .select(
+        graft.functions.MinGramMd5.min_gram_md5(col("text"), 8).as("native"),
+        hof.as("hof"))
+      .where(col("native") =!= col("hof"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("MinGramMd5 multi-byte path: char-based grams on non-ASCII text, same as the HOF") {
+    import spark.implicits._
+    // decomposed é (e + U+0301) and precomposed forms stress the
+    // codepoint-boundary walk; gram positions are characters in both forms
+    val df = Seq(
+      "café niño batch window",
+      "café niño batch window",
+      "éñéñéñéñ tail",
+      "short", // < 8 chars -> NULL
+      "exactly8"
+    ).toDF("text")
+    val hof = expr(
+      "aggregate(sequence(1, length(text) - 7), CAST(NULL AS STRING), " +
+        "(acc, i) -> least(acc, md5(CAST(substring(text, i, 8) AS BINARY))))")
+    val rows = df
+      .select(
+        col("text"),
+        graft.functions.MinGramMd5.min_gram_md5(col("text"), 8).as("native"),
+        when(length(col("text")) >= 8, hof).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      if (r.getString(0).length < 8) assert(r.isNullAt(1), s"expected NULL for '${r.getString(0)}'")
+      else assert(r.getString(1) === r.getString(2), s"mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("min_gram_md5 registers into the SQL surface, matching the Column API") {
+    GraftExtensions.register(spark)
+    val df = Tables.documents(spark, Sf0001).limit(50)
+    df.createOrReplaceTempView("mgm_t")
+    val viaSql = spark.sql("SELECT min_gram_md5(text, 8) AS f FROM mgm_t WHERE length(text) >= 8")
+    val viaCol = df.where(length(col("text")) >= 8)
+      .select(graft.functions.MinGramMd5.min_gram_md5(col("text"), 8).as("f"))
+    assert(viaSql.collect().map(_.getString(0)).sorted
+      === viaCol.collect().map(_.getString(0)).sorted)
+  }
 }
