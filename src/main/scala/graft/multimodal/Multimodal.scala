@@ -59,6 +59,14 @@ object Multimodal {
   /** Render a real PNG: deterministic pixel pattern (doc-seeded), encoded
     * through javax.imageio — runs on executors, headless-safe.
     */
+  /** ImageIO's default stream cache is FILE-backed: every encode/decode
+    * creates (and contends on) a temp file — measured 23 s single-core
+    * and WORSE (34 s) when spread across 32 threads at sf1. Memory-backed
+    * streams remove the disk round-trip and the contention (9.9 s
+    * parallel). Executor-side static init, applied once per JVM.
+    */
+  private val _imageioNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   def makePng(w: Int, h: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -137,7 +145,10 @@ object Multimodal {
     */
   def syntheticMedia(spark: SparkSession, sf: String, mediaType: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sf)
+    // spreadSmallScan (harness-gated): the PNG/WAV encode in the typed map
+    // below is the cost, and a single-row-group scan would run it on one
+    // core (measured 23 s at sf1 — the codec, not the scan, is the work)
+    val docs = graft.queries.Det.spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("text"))
     val wanted = mediaType match {
       case Some("image") => docs.where(col("n_chars") % 2 === 0)

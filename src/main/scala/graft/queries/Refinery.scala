@@ -142,8 +142,8 @@ object Refinery {
     * linear in corpus tokens; memory is bounded by document length.
     */
   def winnowFingerprints(spark: SparkSession, sf: String): DataFrame =
-    Tables
-      .documents(spark, sf)
+    Det
+      .spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(col("doc_id"), tokensCol.as("t"))
       .where(size(col("t")) >= 6)
       .select(col("doc_id"), expr(
@@ -238,8 +238,8 @@ object Refinery {
     */
   def gopherQualityRules(spark: SparkSession, sf: String): DataFrame = {
     val toks = filter(tokensCol, t => t =!= "")
-    Tables
-      .documents(spark, sf)
+    Det
+      .spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(
         col("doc_id"), col("source"),
         toks.as("t"),
@@ -299,8 +299,8 @@ object Refinery {
     */
   def qualityCalibration(spark: SparkSession, sf: String): DataFrame = {
     val toks = filter(tokensCol, t => t =!= "")
-    val scored = Tables
-      .documents(spark, sf)
+    val scored = Det
+      .spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(
         col("doc_id"),
         toks.as("t"),

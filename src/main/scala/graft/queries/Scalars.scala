@@ -48,8 +48,8 @@ object Scalars {
     * restricted to the Java-regex ∩ RE2 subset (no lookaround).
     */
   def regexClean(spark: SparkSession, sf: String): DataFrame =
-    Tables
-      .documents(spark, sf)
+    Det
+      .spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(
         col("doc_id"),
         regexp_replace(col("text"), "\\b(the|a|an|of|and)\\b", "").as("no_stopwords"),
@@ -184,8 +184,8 @@ object Scalars {
     * (left fold over the same element order; float→double widening exact).
     */
   def arrayFuncs(spark: SparkSession, sf: String): DataFrame =
-    Tables
-      .embeddings(spark, sf)
+    Det
+      .spreadSmallScan(spark, Tables.embeddings(spark, sf))
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("n_dims"),
@@ -320,8 +320,8 @@ object Scalars {
     */
   def arraySetops(spark: SparkSession, sf: String): DataFrame = {
     val toks = split(lower(col("text")), " ")
-    Tables
-      .documents(spark, sf)
+    Det
+      .spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(
         col("doc_id"),
         slice(toks, 1, 10).as("head10"),
@@ -351,8 +351,8 @@ object Scalars {
     * repeat, left/right, greatest/least.
     */
   def stringFuncs2(spark: SparkSession, sf: String): DataFrame =
-    Tables
-      .documents(spark, sf)
+    Det
+      .spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(
         col("doc_id"),
         expr("split_part(text, ' ', 2)").as("second_word"),

@@ -663,8 +663,8 @@ object TextOps {
     val fr = Seq("le", "les", "et", "est", "dans", "pour")
     def hits(set: Seq[String], name: String): Column =
       sum(when(col("token").isin(set: _*), 1).otherwise(0)).as(name)
-    val toks = Tables
-      .documents(spark, sf)
+    val toks = Det
+      .spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(col("doc_id"), col("lang"), explode(tokensCol).as("token"))
     toks
       .groupBy(col("doc_id"), col("lang"))
@@ -700,8 +700,8 @@ object TextOps {
     * digit runs / single non-space), long-word count.
     */
   def tokenCount(spark: SparkSession, sf: String): DataFrame =
-    Tables
-      .documents(spark, sf)
+    Det
+      .spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
@@ -721,8 +721,8 @@ object TextOps {
     * banded quality label. All ratios are exact double divisions.
     */
   def textQualityScore(spark: SparkSession, sf: String): DataFrame =
-    Tables
-      .documents(spark, sf)
+    Det
+      .spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_m"),

@@ -813,7 +813,7 @@ object Vectors {
     * (pinned in ExtrasSpec).
     */
   def embeddingQuantize(spark: SparkSession, sf: String): DataFrame =
-    Tables.embeddings(spark, sf)
+    Det.spreadSmallScan(spark, Tables.embeddings(spark, sf))
       .withColumn(
         "norm",
         sqrt(expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
