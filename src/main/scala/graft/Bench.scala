@@ -35,19 +35,31 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 8 shuffle partitions (round-8 matrix A/B): at sf0.1 every
+      // post-shuffle stage holds ≤ 600 k rows, so 32 reducer tasks are
+      // pure scheduling overhead. Applies to the local bench only — the
+      // library sets nothing; a cluster session sizes this to its data.
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(Tables.EventsNanosConf, "true")
-      // At bench scale every dimension side fits comfortably in memory;
-      // a higher broadcast ceiling removes shuffle exchanges from the
-      // join-heavy queries (AQE would get there too, but only after the
-      // first shuffle materializes).
-      .config("spark.sql.autoBroadcastJoinThreshold", sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64MB"))
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // 8MB threshold (round-8 matrix A/B, docs/BENCH_NOTES.md): true
+      // dimension tables (≤ a few MB) still broadcast, but the 150 k-row
+      // orders FACT side no longer does — its per-execution driver-side
+      // broadcast build cost ~0.3–0.4 s/query (q3 1.09 → 0.67 s as a
+      // shuffle join). That is also the honest scale plan: at 100 TB a
+      // fact side is never broadcast-able.
+      .config("spark.sql.autoBroadcastJoinThreshold", sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "8MB"))
+      // AQE off for the local bench (round-8 matrix A/B): with pre-spread
+      // cached inputs and sub-second stages, AQE's per-stage
+      // materialize-and-replan roundtrips cost 0.05–0.3 s/query and its
+      // runtime re-optimizations (coalesce, skew split, join demotion)
+      // have nothing to improve at this size. A cluster deployment keeps
+      // it on — this is harness latency tuning, recorded in the artifact.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       // local-harness opt-in: test tables are single-row-group files, so
       // heavy-compute queries repartition them across cores (queries.Det)
-      .config(graft.queries.Det.SpreadConf, "true")
+      .config(graft.queries.Det.SpreadConf, sys.env.getOrElse("SPARK_GRAFT_SPREAD", "true"))
       .getOrCreate()
     // ERROR, not WARN: each WindowExec "No Partition Defined" WARN is ~190
     // chars and the round-4 run emitted 8 of them — ~1.5 KB of the driver's
@@ -90,12 +102,12 @@ object Bench {
     // the no-op DSv2 sink: every column computed, the contract sort
     // executed, nothing persisted. SPARK_GRAFT_ACTION=count keeps the old
     // action for A/Bs (measured deltas in docs/BENCH_NOTES.md).
-    val benchAction = sys.env.getOrElse("SPARK_GRAFT_ACTION", "noop")
+    // Whitelisted + normalized via BenchAction (ADVICE r7): an unknown
+    // value fails fast instead of silently running noop while recording
+    // the raw (unescaped) env string in the artifact.
+    val benchAction = BenchAction.resolve()
     def runAction(df: org.apache.spark.sql.DataFrame): Unit =
-      benchAction match {
-        case "count" => df.count()
-        case _ => df.write.mode("overwrite").format("noop").save()
-      }
+      BenchAction.run(benchAction, df)
     // Untimed warmup at sfDir: compiles the generated code (Janino) and JITs
     // the hot paths the timed passes will take, including AQE's re-planned
     // stages at this scale.
@@ -207,10 +219,19 @@ object Bench {
     // + totals; `value` stays the full-suite total (the BASELINE.json
     // contract's definition of BENCH).
     val inflJson = inflated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // session-config provenance: these three were re-tuned in round 8 (A/B
+    // matrix in docs/BENCH_NOTES.md) and a future reader must be able to
+    // tell which posture produced an artifact
+    val confJson = {
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val sh = spark.conf.get("spark.sql.shuffle.partitions")
+      val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s""""aqe":$aqe,"shuffle":$sh,"broadcast":"$bc""""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"baseline10_total":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"cached":$cacheTables,"action":"$benchAction"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"baseline10_total":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"cached":$cacheTables,"action":"$benchAction"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(fullLine) finally w.close()

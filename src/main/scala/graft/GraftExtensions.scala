@@ -39,6 +39,20 @@ object GraftExtensions {
         "actualNum" -> actual.toString,
         "docroot" -> "https://spark.apache.org/docs/latest"))
 
+  /** A bad parameter VALUE (right arity, wrong content) surfaces as the
+    * INVALID_PARAMETER_VALUE analysis error Spark built-ins use, with the
+    * free-form PATTERN subclass carrying the detail (ADVICE r7: this used
+    * to reuse WRONG_NUM_ARGS with actualNum set to the literal's value —
+    * a misleading arity error for a type/value problem).
+    */
+  private def invalidParam(fn: String, param: String, detail: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+      messageParameters = Map(
+        "parameter" -> s"`$param`",
+        "functionName" -> s"`$fn`",
+        "value" -> detail))
+
   private def buildVecDot(children: Seq[Expression]): Expression = children match {
     case Seq(a, b) => VecDot(a, b)
     case other => wrongNumArgs("vec_dot", 2, other.size)
@@ -92,17 +106,22 @@ object GraftExtensions {
         "(n a positive integer literal); NULL when s has fewer than n characters",
       ""),
     {
+      // n: any foldable INTEGRAL literal ≥ 1 (ADVICE r7: a BIGINT-typed
+      // literal like CAST(8 AS BIGINT) is a fine gram size; rejecting it —
+      // or n < 1 — must surface as an invalid-PARAMETER error, not a
+      // misleading WRONG_NUM_ARGS arity error).
       case Seq(s, n) if n.foldable =>
         n.eval() match {
-          case i: Int if i >= 1 => MinGramMd5(s, i)
-          case other => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "`min_gram_md5`",
-              "expectedNum" -> "2 (n a positive integer literal)",
-              "actualNum" -> String.valueOf(other),
-              "docroot" -> "https://spark.apache.org/docs/latest"))
+          case num: java.lang.Number
+              if num.longValue().toDouble == num.doubleValue() &&
+                num.longValue() >= 1L && num.longValue() <= Int.MaxValue.toLong =>
+            MinGramMd5(s, num.intValue())
+          case other =>
+            invalidParam("min_gram_md5", "n",
+              s"expects a positive integer literal, but got ${if (other == null) "NULL" else other.toString}")
         }
+      case Seq(_, _) =>
+        invalidParam("min_gram_md5", "n", "expects a foldable positive integer literal")
       case other => wrongNumArgs("min_gram_md5", 2, other.size)
     })
 

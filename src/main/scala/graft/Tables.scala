@@ -37,8 +37,8 @@ object Tables {
   /** Load one table. `sfDir` is a scale-factor directory such as
     * `/root/testdata/sf0.01`.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    name match {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val base = name match {
       case "events" =>
         require(
           spark.conf.getOption(EventsNanosConf).contains("true"),
@@ -60,6 +60,46 @@ object Tables {
       case other =>
         spark.read.parquet(path(sfDir, other))
     }
+    spreadIfEnabled(spark, sfDir, name, base)
+  }
+
+  /** Harness-gated table spread (round-8, VERDICT r7 item 1): when
+    * [[graft.queries.Det.SpreadConf]] is true — set ONLY by the local
+    * bench/profile mains — every table is round-robin repartitioned to a
+    * size-scaled partition count right above its scan. The fixture
+    * parquet files are ONE row group each, so without this every map
+    * stage (scan, filter, project, partial agg, per-row compute) of every
+    * query runs in a single task no matter how many cores the session
+    * has; the r6 per-query floor decomposition attributes most of the
+    * sub-second queries' constant to exactly this. A real cluster table
+    * arrives in thousands of row-group splits and never needs it (the
+    * conf stays false outside the harness, keeping the library plan
+    * identical to production).
+    *
+    * Putting the spread INSIDE the table loader (rather than per-query
+    * `spreadSmallScan`, its round-6 predecessor, now a pass-through)
+    * makes the repartitioned plan the canonical subtree every query
+    * shares, so Bench's `persist` of the loaded table substitutes an
+    * ALREADY-SPREAD InMemoryRelation into every query — the shuffle is
+    * paid once at cache build, not per execution.
+    *
+    * Partition count scales with on-disk bytes (≈256 KB each, clamped to
+    * the session's core count) so 5-row dimension tables don't fan out
+    * into 32 near-empty tasks whose scheduling costs more than the
+    * parallelism buys.
+    */
+  private def spreadIfEnabled(
+      spark: SparkSession, sfDir: String, name: String, df: DataFrame): DataFrame = {
+    if (!spark.conf.getOption(graft.queries.Det.SpreadConf).exists(_.toBoolean)) df
+    else {
+      def bytes(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(bytes).sum else f.length()
+      val b = bytes(new java.io.File(path(sfDir, name)))
+      val n = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong, b / (256L * 1024) + 1)).toInt
+      df.repartition(n)
+    }
+  }
 
   /** Convenience loaders used by the query builders. */
   def lineitem(s: SparkSession, sf: String): DataFrame = table(s, sf, "lineitem")

@@ -147,13 +147,8 @@ object MinGramMd5 {
     UTF8String.fromBytes(out)
   }
 
-  private lazy val exprUtils = Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
-  private lazy val toExpr = exprUtils.getMethod("expression", classOf[Column])
-  private lazy val toColumn = exprUtils.getMethod("column", classOf[Expression])
-
-  /** Column-API entry point: `min_gram_md5(s, n)`. */
-  def min_gram_md5(s: Column, n: Int): Column = {
-    val es = toExpr.invoke(null, s).asInstanceOf[Expression]
-    toColumn.invoke(null, MinGramMd5(es, n)).asInstanceOf[Column]
-  }
+  /** Column-API entry point: `min_gram_md5(s, n)` (bridged via the shared
+    * [[ColumnBridge]], same as VecDot/NfcNormalize — ADVICE r7). */
+  def min_gram_md5(s: Column, n: Int): Column =
+    ColumnBridge.toColumn(MinGramMd5(ColumnBridge.toExpr(s), n))
 }

@@ -27,17 +27,27 @@ object Det {
     * (double / bigint division of identical operands is deterministic.) */
   def avgMoney(c: Column): Column = sumMoney(c) / count(lit(1))
 
-  /** Conf key: when "true", [[spreadSmallScan]] repartitions its input
-    * across the session's cores. Set ONLY by local harness mains
-    * (Bench/Profile), where each test table is one small parquet file
-    * (= one row group = one unsplittable scan task) yet the work above the
-    * scan is heavy (per-row hashing, explode fan-out). A real cluster
-    * never sets it: there the scan arrives in thousands of row-group
-    * splits and injecting a corpus-wide shuffle would be a scale bug.
+  /** Conf key: when "true", [[graft.Tables.table]] repartitions every
+    * loaded table across the session's cores (size-scaled — see
+    * `Tables.spreadIfEnabled`). Set ONLY by local harness mains
+    * (Bench/Profile/Scratch), where each test table is one small parquet
+    * file (= one row group = one unsplittable scan task) yet the work
+    * above the scan is heavy (per-row hashing, explode fan-out). A real
+    * cluster never sets it: there the scan arrives in thousands of
+    * row-group splits and injecting a corpus-wide shuffle would be a
+    * scale bug.
     */
   val SpreadConf = "spark.graft.spreadSmallScans"
 
   /** Identity unless the session opted in via [[SpreadConf]] — see there.
+    * Round-8 note: `Tables.table` now ALSO spreads every loaded table to
+    * a size-scaled partition count under the same conf (so the cached
+    * tables arrive parallel in every query). This call remains on the
+    * compute-heavy scans because size-scaled is not compute-scaled: the
+    * embeddings table is ~0.5 MB → 3 partitions from size, but the n²
+    * dot-product loops above it need every core — measured on
+    * knn_brute_force, identity here cost 0.35 s vs 0.24 s with the full
+    * repartition (the 2000-row exchange it adds is ~10 ms).
     * (An earlier adaptive variant probed `df.rdd.getNumPartitions`; the
     * probe itself re-planned the query per call and cost more than the
     * parallelism bought — measured +0.6–1.5 s per query. Conf-gating is

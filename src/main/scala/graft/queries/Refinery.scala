@@ -244,6 +244,12 @@ object Refinery {
         col("doc_id"), col("source"),
         toks.as("t"),
         length(regexp_replace(col("text"), " ", "")).cast("double").as("nonspace"))
+      // ADVICE r7: a doc whose text is all spaces tokenizes to an empty
+      // array; the /size(t) ratios would go NULL (consistently in both
+      // engines, but NaN-divergent in the spec's local recompute). Such a
+      // doc carries no rateable content — drop it explicitly, mirrored in
+      // the SQL twin's WHERE len(t) >= 1.
+      .where(size(col("t")) >= 1)
       .select(
         col("doc_id"), col("source"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -281,6 +287,7 @@ object Refinery {
       |    SELECT doc_id, source, text,
       |      list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
       |    FROM documents)
+      |  WHERE len(t) >= 1
       |)
       |ORDER BY doc_id""".stripMargin
 
@@ -305,6 +312,8 @@ object Refinery {
         col("doc_id"),
         toks.as("t"),
         length(regexp_replace(col("text"), " ", "")).cast("double").as("nonspace"))
+      // same empty-token-array guard as gopherQualityRules (ADVICE r7)
+      .where(size(col("t")) >= 1)
       .select(
         col("doc_id"),
         size(col("t")).cast("double").as("n_tokens"),
@@ -354,6 +363,7 @@ object Refinery {
       |        SELECT doc_id, text,
       |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
       |        FROM documents)
+      |      WHERE len(t) >= 1
       |    )
       |  )
       |), banded AS (

@@ -195,24 +195,37 @@ object Retrieval {
     // row group otherwise at fixture SFs (same treatment as minhash).
     val docs = Det.spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(col("doc_id"), col("text"))
+    // Round-8 restructure (VERDICT r7 item 6): the old shape kept the raw
+    // per-CHARACTER occurrence stream alive through both broadcast joins
+    // and the final doc-keyed aggregate — and, because the `big` subtree
+    // fed three consumers, the n_chars-row Generate executed three times.
+    // The occurrence stream now collapses to DISTINCT (doc, bigram, cnt)
+    // rows at the first aggregate (map-side combine absorbs the Generate
+    // fan-out in the scan's own tasks); every ll_fx occurrence of a bigram
+    // is identical, so scoring cnt·ll_fx on the collapsed stream is
+    // bit-identical to summing per occurrence (pinned in RetrievalSpec).
+    // The three consumers of docBg share ONE shuffle via ReuseExchange —
+    // the exchange subtree is canonically identical — so the explode pass
+    // runs once, not three times. sf1: 24.0 s → (re-measured this round).
     val big = docs
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
         col("text"))
       .select(col("doc_id"), expr("substring(text, i, 2)").as("bg"))
-    val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val c1 = big
-      .select(expr("substring(bg, 1, 1)").as("a"))
-      .groupBy(col("a")).agg(count(lit(1)).as("c1"))
-    big
+    val docBg = big.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val c2 = docBg.groupBy(col("bg")).agg(sum(col("cnt")).as("c2"))
+    val c1 = docBg
+      .groupBy(expr("substring(bg, 1, 1)").as("a"))
+      .agg(sum(col("cnt")).as("c1"))
+    docBg
       .join(broadcast(c2), Seq("bg"))
       .join(broadcast(c1.withColumnRenamed("a", "bg_a")),
         expr("substring(bg, 1, 1) = bg_a"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("cnt"),
         floor(round(log2(col("c2") / col("c1")), 8) * lit(Fx)).as("ll_fx"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        ((-sum(col("ll_fx"))).cast("double") / lit(Fx) / count(lit(1))).as("avg_nll"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        ((-sum(col("cnt") * col("ll_fx"))).cast("double") / lit(Fx) / sum(col("cnt"))).as("avg_nll"))
       .orderBy(col("doc_id"))
   }
 

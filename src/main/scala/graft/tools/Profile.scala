@@ -19,20 +19,16 @@ object Profile {
       .config(graft.Tables.EventsNanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Same timed action as Bench: full materialization of the final plan
-    // (sort included). SPARK_GRAFT_ACTION: noop (default, = Bench) | rdd
-    // (toRdd.count — measured ≈ noop, kept for cross-checks) | count
-    // (the pruned legacy action).
-    val action = sys.env.getOrElse("SPARK_GRAFT_ACTION", "noop")
+    // Same timed action as Bench, resolved through the SHARED whitelist
+    // (ADVICE r7: Profile used to map unknown values to toRdd.count()
+    // while Bench mapped them to the noop write — a typo silently A/B'd
+    // different actions between harnesses).
+    val action = graft.BenchAction.resolve()
     names.foreach { name =>
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
-        action match {
-          case "count" => df.count()
-          case "noop" => df.write.mode("overwrite").format("noop").save()
-          case _ => df.queryExecution.toRdd.count()
-        }
+        graft.BenchAction.run(action, df)
         println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       if (sys.env.contains("PROFILE_EXPLAIN"))
