@@ -440,10 +440,12 @@ object Vectors {
         .cast("int").as("k"),
       count(lit(1)).as("n"))
       .select(col("k"),
-        least(col("n"), lit(TrainSamplePerCell.toLong) * col("k")).cast("int").as("m"))
+        least(col("n"), lit(TrainSamplePerCell.toLong) * col("k")).cast("int").as("m"),
+        ceil(sqrt(col("k"))).cast("int").as("g"))
 
   private def ivfKSql: String =
-    s"SELECT k, CAST(LEAST(n, $TrainSamplePerCell * k) AS INT) AS m FROM (" +
+    s"SELECT k, CAST(LEAST(n, $TrainSamplePerCell * k) AS INT) AS m, " +
+      s"CAST(CEIL(SQRT(k)) AS INT) AS g FROM (" +
       s"SELECT LEAST($IvfMaxCells, GREATEST(8, CAST(CEIL(COUNT(*) / $LshTargetOccupancy) AS INT))) AS k, " +
       s"COUNT(*) AS n FROM embeddings)"
 
@@ -460,8 +462,22 @@ object Vectors {
     * encoded as max over struct(ec_dot, -cell) — identical to the window's
     * ordering and to the oracle's row_number.
     */
+  /** FLAT scoring (vector × every cell) — used only where the source is
+    * SMALL: the Lloyd training sample (m = 25·k rows). Flat is one
+    * broadcast join + one aggregate (≈ 4 stages/step); routing the sample
+    * through the two-level hierarchy saved dots but cost ~10 extra
+    * sub-second STAGES per step, and at sf1 the measured wall time was
+    * ~0.1–0.2 s of scheduler floor per stage, not compute (52-stage
+    * attribution in docs/BENCH_NOTES.md). The full-corpus final
+    * assignment is where n·k bites, and it uses [[scoredCells]].
+    */
+  private def scoredCellsFlat(src: DataFrame, cells: DataFrame): DataFrame =
+    src
+      .crossJoin(broadcast(cells.select(col("cell"), col("cvec"))))
+      .select(col("vec_id"), col("cell"), dot(col("embedding"), col("cvec")).as("ec_dot"))
+
   private def kmeansStep(emb: DataFrame, cells: DataFrame): DataFrame = {
-    val assigned = scoredCells(emb, cells)
+    val assigned = scoredCellsFlat(emb, cells)
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("ec_dot"), (-col("cell")).as("nc"))).as("cell"))
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
@@ -501,9 +517,15 @@ object Vectors {
     * not. The row_number window below runs over ≤ IvfMaxCells rows only —
     * bounded by construction.
     */
-  private def trainCells(emb: DataFrame): DataFrame = {
+  /** params is the (already materialized — see [[quantizerParams]]) 1-row
+    * k/m/g aggregate; each Lloyd iteration is localCheckpoint'ed (k rows ×
+    * 64 doubles — model state), truncating the lineage so step i+1's
+    * multiple references to step i's cells (super window, cell-routing
+    * join, scoring join) execute it once, not once per reference. This is
+    * the spark.ml KMeans shape: materialize centroids every iteration.
+    */
+  private def trainCells(emb: DataFrame, params: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val params = ivfKParams(emb)
     val init = emb
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id"))
@@ -516,13 +538,26 @@ object Vectors {
     // m broadcast from the same 1-row params aggregate) — see
     // [[TrainSamplePerCell]]. The seeds (k lowest vec_ids) are inside the
     // sample by construction, so every cell starts with ≥ 1 member.
+    // materialized once: both Lloyd steps consume it, and un-checkpointed
+    // each step re-ran the corpus scan + sample filter as its own stages
     val sample = emb
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(params.select(col("m"))))
       .where(col("vec_id") < col("m"))
       .select(col("vec_id"), col("embedding"))
-    (1 to IvfIters).foldLeft(init)((c, _) => kmeansStep(sample, c))
+      .localCheckpoint()
+    (1 to IvfIters).foldLeft(init.localCheckpoint())((c, _) =>
+      kmeansStep(sample, c).localCheckpoint())
   }
+
+  /** The materialized quantizer params: a 1-row aggregate referenced by
+    * every hierarchy stage (init trim, sample filter, super selection per
+    * Lloyd step, final routing). Un-checkpointed, each broadcast of it
+    * re-ran the corpus count as its own job — ~6 jobs of pure machinery
+    * per query (measured ~0.4 s at sf1).
+    */
+  private def quantizerParams(emb: DataFrame): DataFrame =
+    ivfKParams(emb).localCheckpoint()
 
   /** ONE top-2 assignment pass serves both index sides: rank-1 rows form
     * the inverted file for every corpus vector, rank ≤ 2 rows of the query
@@ -536,8 +571,8 @@ object Vectors {
     * ≤ 16 bytes each, bounded by IvfMaxCells — and sorting ascending on
     * (nd = -dot, cell) IS the window's (dot DESC, cell ASC) order.
     */
-  private def assignTop2(emb: DataFrame, cells: DataFrame): DataFrame = {
-    scoredCells(emb, cells)
+  private def assignTop2(emb: DataFrame, cells: DataFrame, params: DataFrame): DataFrame = {
+    scoredCells(emb, cells, params)
       .groupBy(col("vec_id"))
       .agg(
         slice(
@@ -552,20 +587,61 @@ object Vectors {
       .select(col("rn"), col("cell"), col("vec_id"), col("embedding"))
   }
 
-  /** The shared n·k scoring pass, pruned to THREE narrow columns before
-    * any aggregation: whole-stage codegen fuses the broadcast nested-loop
-    * join with this projection, so the 64-element embedding array is read
-    * for the vec_dot but never copied into the n·k intermediate rows —
-    * with it in the aggregate input (the first adaptive-k form), the
-    * assignment materialized ~n·k·256 B per pass and still cost 9.6 s at
-    * sf1/k=160. Consumers that need the embedding join it back by vec_id
-    * (n skinny rows against n wide rows — one co-partitioned join, not an
-    * n·k stream).
+  /** TWO-LEVEL (hierarchical) cell scoring — round-8, VERDICT r7 item 3's
+    * exponent fix. The flat form scored every vector against every cell
+    * (n·k dots); with the occupancy-targeted k ∝ n that is n²/125 —
+    * measured e ≈ 1.8–2.1 sf1→sf3 for the in-query quantizer family. The
+    * classical IVF answer is a coarse-over-coarse hierarchy (IMI/two-level
+    * quantizer): group the k cells under g = ⌈√k⌉ SUPER-cells, route each
+    * vector to its top-2 supers, and score it only against the cells of
+    * those supers — n·(g + 2k/g) ≈ 4√k per vector instead of k
+    * (sf3: 66 vs 480 dots/vector). Asymptotically n^1.5 with k ∝ n; the
+    * remaining growth is the inverted-file build itself, which the
+    * *_probe twins amortize to e ≤ 1.12.
+    *
+    * Determinism: super-centroids are the g lowest-id cells; every argmax
+    * tie-breaks (dot DESC, id ASC); all mirrored CTE-for-CTE in the
+    * oracle ([[supCte]]/[[csupCte]]/[[vsupCte]]). The assignment is
+    * APPROXIMATE exactly like the quantizer it builds (a vector whose
+    * true nearest cell lives outside its two nearest supers gets its best
+    * in-super cell instead) — recall@3 vs brute force re-measured in
+    * ExtrasSpec (floor 0.6 unchanged).
+    *
+    * Plan shape: two broadcast passes (g-row and k-row tables are model
+    * state), one n-row co-partitioned self-join to attach each vector's
+    * super routes, then the bounded fan-out join — still only THREE
+    * narrow columns wide (same argument as the flat form: the 64-element
+    * embedding is read for the vec_dot, never copied into the scored
+    * stream).
     */
-  private def scoredCells(emb: DataFrame, cells: DataFrame): DataFrame =
+  private def scoredCells(emb: DataFrame, cells: DataFrame, params: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // g lowest-id cells as super-centroids (window over ≤ IvfMaxCells rows)
+    val sup = cells
+      .withColumn("r", row_number().over(Window.orderBy(col("cell"))))
+      .crossJoin(broadcast(params.select(col("g"))))
+      .where(col("r") <= col("g"))
+      .select(col("cell").as("sc"), col("cvec").as("svec"))
+    // each cell under its nearest super (k×g dots — model-state-sized)
+    val csup = cells
+      .crossJoin(broadcast(sup))
+      .select(col("cell"), col("cvec"), col("sc"), dot(col("cvec"), col("svec")).as("cs_dot"))
+      .groupBy(col("cell"))
+      .agg(max_by(col("sc"), struct(col("cs_dot"), (-col("sc")).as("ns"))).as("sc"))
+      .join(cells.select(col("cell"), col("cvec")), "cell")
+    // each vector's top-2 supers (n·g dots, collapsed map-side)
+    val vsup = emb
+      .crossJoin(broadcast(sup))
+      .select(col("vec_id"), col("sc"), dot(col("embedding"), col("svec")).as("vs_dot"))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct((-col("vs_dot")).as("nd"), col("sc")))), 1, 2).as("t2"))
+      .select(col("vec_id"), explode(expr("transform(t2, s -> s.sc)")).as("sc"))
+    // candidate cells = cells of the routed supers (n·2k/g dots expected)
     emb
-      .crossJoin(broadcast(cells.select(col("cell"), col("cvec"))))
+      .join(vsup, "vec_id")
+      .join(broadcast(csup), "sc")
       .select(col("vec_id"), col("cell"), dot(col("embedding"), col("cvec")).as("ec_dot"))
+  }
 
   /** Probe-2 search over a materialized top-2 assignment table. */
   private def probeAssigned(assigned2: DataFrame): DataFrame = {
@@ -597,12 +673,13 @@ object Vectors {
     // iterative refinement — spark.ml's own KMeans materializes centroids
     // every iteration. ann_ivf_probe persists the same two boundaries as
     // parquet — the production artifact split.
-    val cells = trainCells(emb).localCheckpoint()
+    val params = quantizerParams(emb)
+    val cells = trainCells(emb, params)
     // ... and the assignment table is materialized too: it IS the IVF
     // index (cell → members), the artifact a production system persists
     // once per corpus; without this its two consumers below re-run the
     // assignment pass each.
-    val assigned2 = assignTop2(emb, cells).localCheckpoint()
+    val assigned2 = assignTop2(emb, cells, params).localCheckpoint()
     probeAssigned(assigned2)
   }
 
@@ -629,9 +706,10 @@ object Vectors {
     val staging = java.nio.file.Paths.get(
       s"$dir.tmp.${java.lang.ProcessHandle.current().pid()}")
     val emb = Tables.embeddings(spark, sf)
-    val cells = trainCells(emb).localCheckpoint()
+    val params = quantizerParams(emb)
+    val cells = trainCells(emb, params)
     cells.write.mode("overwrite").parquet(s"$staging/cells")
-    assignTop2(emb, cells).write.mode("overwrite").parquet(s"$staging/assigned")
+    assignTop2(emb, cells, params).write.mode("overwrite").parquet(s"$staging/assigned")
     try
       java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -660,10 +738,11 @@ object Vectors {
     */
   private def ivfIndexDir(sf: String): String = {
     val tag = sf.replaceAll("[^A-Za-z0-9.]+", "_")
-    // v3: round-8 train-on-sample recipe (Lloyd iterations over the m
-    // lowest vec_ids) — older v2 indexes were trained on the full corpus
-    // and would serve different (stale) centroids.
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_v3/${tag}_${ivfSourceFingerprint(sf)}"
+    // v4: round-8 recipe — train-on-sample Lloyd iterations (m lowest
+    // vec_ids) + two-level super-cell routed assignment. Older indexes
+    // (full-corpus training, flat n·k assignment) would serve different
+    // (stale) centroids/assignments.
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_v4/${tag}_${ivfSourceFingerprint(sf)}"
   }
 
   private def ivfSourceFingerprint(sf: String): String = {
@@ -691,12 +770,53 @@ object Vectors {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($vec) + 1), " +
       s"i -> CAST($vec[i] AS DOUBLE) * $cvec[i])), (acc, x) -> acc + x)"
 
-  private def assignCte(cellsRel: String, srcRel: String = "embeddings"): String =
+  // ---- two-level (super-cell) routing CTE builders — the oracle twins of
+  // [[scoredCells]]'s hierarchy; every argmax tie-breaks (dot DESC, id ASC)
+
+  /** Super-centroids: the g lowest-id cells of cellsRel. */
+  private def supCte(cellsRel: String): String =
+    s"""SELECT cell AS sc, cvec AS svec FROM (
+       |    SELECT cell, cvec, row_number() OVER (ORDER BY cell) AS r FROM $cellsRel), ($ivfKSql) p
+       |  WHERE r <= p.g""".stripMargin
+
+  /** Each cell under its nearest super (cvec carried along). */
+  private def csupCte(cellsRel: String, supRel: String): String =
+    s"""SELECT cell, cvec, sc FROM (
+       |    SELECT c.cell, c.cvec, s.sc,
+       |      row_number() OVER (PARTITION BY c.cell ORDER BY
+       |        ${cellDot("c.cvec", "s.svec")} DESC, s.sc ASC) AS rc
+       |    FROM $cellsRel c CROSS JOIN $supRel s)
+       |  WHERE rc = 1""".stripMargin
+
+  /** Each vector of srcRel routed to its top-2 supers. */
+  private def vsupCte(srcRel: String, supRel: String): String =
+    s"""SELECT vec_id, sc FROM (
+       |    SELECT e.vec_id, s.sc,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cellDot("e.embedding", "s.svec")} DESC, s.sc ASC) AS rs
+       |    FROM $srcRel e CROSS JOIN $supRel s)
+       |  WHERE rs <= 2""".stripMargin
+
+  /** Rank-1 FLAT assignment (every cell scored) — the Lloyd-step twin of
+    * [[scoredCellsFlat]], used over the small training sample only.
+    */
+  private def assignCteFlat(cellsRel: String, srcRel: String): String =
     s"""SELECT cell, vec_id, embedding FROM (
        |    SELECT c.cell, e.vec_id, e.embedding,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        ${cellDot("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
        |    FROM $srcRel e CROSS JOIN $cellsRel c)
+       |  WHERE rn = 1""".stripMargin
+
+  /** Rank-1 assignment over the routed candidate cells (vsupRel gives each
+    * vector's ≤ 2 supers; csupRel maps cells to supers).
+    */
+  private def assignCte(csupRel: String, vsupRel: String, srcRel: String): String =
+    s"""SELECT cell, vec_id, embedding FROM (
+       |    SELECT cs.cell, e.vec_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cellDot("e.embedding", "cs.cvec")} DESC, cs.cell ASC) AS rn
+       |    FROM $srcRel e JOIN $vsupRel v ON v.vec_id = e.vec_id JOIN $csupRel cs ON cs.sc = v.sc)
        |  WHERE rn = 1""".stripMargin
 
   private def centCte(assignRel: String): String =
@@ -725,13 +845,19 @@ object Vectors {
        |  SELECT e.vec_id, e.embedding FROM embeddings e, ($ivfKSql) p
        |  WHERE e.vec_id < p.m
        |), assign1 AS (
-       |  ${assignCte("cells0", "train_sample")}
+       |  ${assignCteFlat("cells0", "train_sample")}
        |), cells1 AS (
        |  ${centCte("assign1")}
        |), assign2 AS (
-       |  ${assignCte("cells1", "train_sample")}
+       |  ${assignCteFlat("cells1", "train_sample")}
        |), cells2 AS (
        |  ${centCte("assign2")}
+       |), sup2 AS (
+       |  ${supCte("cells2")}
+       |), csup2 AS (
+       |  ${csupCte("cells2", "sup2")}
+       |), vsup2 AS (
+       |  ${vsupCte("embeddings", "sup2")}
        |)""".stripMargin
 
   val annIvfSql: String = {
@@ -739,10 +865,10 @@ object Vectors {
     // are the identical left fold, means the identical fixed-point form
     s"""WITH $kmeansCellsCtes, assigned2 AS (
        |  SELECT rn, cell, vec_id, embedding FROM (
-       |    SELECT c.cell, e.vec_id, e.embedding,
+       |    SELECT cs.cell, e.vec_id, e.embedding,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        ${cellDot("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
-       |    FROM embeddings e CROSS JOIN cells2 c)
+       |        ${cellDot("e.embedding", "cs.cvec")} DESC, cs.cell ASC) AS rn
+       |    FROM embeddings e JOIN vsup2 v ON v.vec_id = e.vec_id JOIN csup2 cs ON cs.sc = v.sc)
        |  WHERE rn <= 2
        |), inverted AS (
        |  SELECT cell, vec_id, embedding FROM assigned2 WHERE rn = 1
@@ -781,13 +907,14 @@ object Vectors {
     */
   def dedupSemantic(spark: SparkSession, sf: String): DataFrame = {
     val emb = Tables.embeddings(spark, sf)
-    val cells = trainCells(emb).localCheckpoint()
+    val params = quantizerParams(emb)
+    val cells = trainCells(emb, params)
     // Top-2 multi-probe membership, exactly like the IVF search side: a
     // near-dup pair is examined if the two vectors share EITHER of their
     // two closest cells. Single-assignment recall at small cell counts is
     // poor (measured 0.31 at sf0.001 — boundary pairs split); probe-2
     // recovers it the same way it lifts IVF recall@3 to 0.83+.
-    semanticFromAssigned(assignTop2(emb, cells))
+    semanticFromAssigned(assignTop2(emb, cells, params))
   }
 
   /** The persisted-quantizer regime of [[dedupSemantic]] (VERDICT r6 item
@@ -831,10 +958,10 @@ object Vectors {
        |  SELECT cell, vec_id, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS norm
        |  FROM (
-       |    SELECT c.cell, e.vec_id, e.embedding,
+       |    SELECT cs.cell, e.vec_id, e.embedding,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        ${cellDot("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
-       |    FROM embeddings e CROSS JOIN cells2 c)
+       |        ${cellDot("e.embedding", "cs.cvec")} DESC, cs.cell ASC) AS rn
+       |    FROM embeddings e JOIN vsup2 v ON v.vec_id = e.vec_id JOIN csup2 cs ON cs.sc = v.sc)
        |  WHERE rn <= 2
        |)
        |SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS kept_by,
@@ -902,8 +1029,9 @@ object Vectors {
     */
   def clusterTopics(spark: SparkSession, sf: String): DataFrame = {
     val emb = Tables.embeddings(spark, sf)
-    val cells = trainCells(emb).localCheckpoint()
-    val inv = scoredCells(emb, cells)
+    val params = quantizerParams(emb)
+    val cells = trainCells(emb, params)
+    val inv = scoredCells(emb, cells, params)
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("ec_dot"), (-col("cell")).as("nc"))).as("cell"))
     topicsFromAssignment(spark, sf, inv)
@@ -958,10 +1086,10 @@ object Vectors {
   val clusterTopicsSql: String =
     s"""WITH $kmeansCellsCtes, inv AS (
        |  SELECT cell, vec_id FROM (
-       |    SELECT c.cell, e.vec_id,
+       |    SELECT cs.cell, e.vec_id,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        ${cellDot("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
-       |    FROM embeddings e CROSS JOIN cells2 c)
+       |        ${cellDot("e.embedding", "cs.cvec")} DESC, cs.cell ASC) AS rn
+       |    FROM embeddings e JOIN vsup2 v ON v.vec_id = e.vec_id JOIN csup2 cs ON cs.sc = v.sc)
        |  WHERE rn = 1
        |), toks AS (
        |  SELECT i.cell, token FROM inv i JOIN (

@@ -37,11 +37,11 @@ object FloorTrace {
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "5").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "8MB"))
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config(graft.queries.Det.SpreadConf, "true")
       .config(Tables.EventsNanosConf, "true")
       .getOrCreate()
@@ -83,7 +83,10 @@ object FloorTrace {
 
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      (1 to 2).foreach(_ => fn(spark, sfDir).count()) // warm
+      (1 to 2).foreach(_ => fn(spark, sfDir).write.mode("overwrite").format("noop").save()) // warm
+      // noop wall: the bench's own action, for the "what Bench sees" column
+      val noopWall = minOf((1 to iters).map(_ =>
+        timed(fn(spark, sfDir).write.mode("overwrite").format("noop").save())))
       val comps = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
@@ -110,7 +113,7 @@ object FloorTrace {
       val exec = minOf(comps.map(_._5))
       val catalyst = math.rint((ana + opt + plan) * 10000) / 10000
       val other = math.rint((wall - catalyst - exec) * 10000) / 10000
-      println(s"""{"query":"$name","wall":$wall,"analysis":$ana,"optimization":$opt,"planning":$plan,"execution":$exec,"catalyst_total":$catalyst,"residual_driver":$other}""")
+      println(s"""{"query":"$name","noop_wall":$noopWall,"count_wall":$wall,"analysis":$ana,"optimization":$opt,"planning":$plan,"execution":$exec,"catalyst_total":$catalyst,"residual_driver":$other}""")
     }
     spark.stop()
   }
