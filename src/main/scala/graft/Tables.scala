@@ -34,6 +34,25 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Driver-side schema cache, keyed by parquet path. Without it every
+    * DataFrame CONSTRUCTION runs a 1-task schema-inference job reading
+    * the parquet footer — ~35 ms per table per query per iteration
+    * (stage-level attribution found SIX such jobs inside one q5
+    * execution, ~0.2 s of the query's wall). A metastore plays this role
+    * in production; for path-addressed fixtures the first read infers
+    * and every later construction passes the schema explicitly. Keyed by
+    * full path, so different scale dirs never cross; fixture files are
+    * immutable for a session (regenerating testdata in place requires a
+    * new JVM, same as the cached-table posture).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readCachedSchema(spark: SparkSession, p: String): DataFrame = {
+    val schema = schemaCache.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(p)
+  }
+
   /** Load one table. `sfDir` is a scale-factor directory such as
     * `/root/testdata/sf0.01`.
     */
@@ -43,7 +62,7 @@ object Tables {
         require(
           spark.conf.getOption(EventsNanosConf).contains("true"),
           s"reading events.parquet requires $EventsNanosConf=true in the session builder")
-        val raw = spark.read.parquet(path(sfDir, "events"))
+        val raw = readCachedSchema(spark, path(sfDir, "events"))
         // Layout-adaptive: the driver's file stores ts as TIMESTAMP(NANOS)
         // (reads as bigint ns under nanosAsLong); graft.tools.DataGen output
         // stores TIMESTAMP_NTZ(µs) directly (Spark cannot write nanos).
@@ -58,7 +77,7 @@ object Tables {
           case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
         }
       case other =>
-        spark.read.parquet(path(sfDir, other))
+        readCachedSchema(spark, path(sfDir, other))
     }
     spreadIfEnabled(spark, sfDir, name, base)
   }

@@ -26,6 +26,11 @@ object Scratch {
       .config(graft.Tables.EventsNanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.names.foreach { n =>
+      val df = graft.Tables.table(spark, sf, n)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      df.count()
+    }
 
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, String)]
     @volatile var collect = false
