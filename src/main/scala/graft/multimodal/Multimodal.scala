@@ -67,28 +67,82 @@ object Multimodal {
     */
   private val _imageioNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
 
-  def makePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+  private def renderImage(w: Int, h: Int, seed: Long): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // bulk setRGB: identical pixels to the per-pixel loop, one color-model
+    // conversion pass instead of w·h method calls (round-8 codec-floor
+    // work; PNG bytes unchanged — MultimodalSpec's checksums still pass)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xffffff).toInt)
+        px(y * w + x) = ((x * 31 + y * 17 + seed) & 0xffffff).toInt
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    img
+  }
+
+  def makePng(w: Int, h: Int, seed: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(renderImage(w, h, seed), "png", bos)
     bos.toByteArray
   }
 
-  /** Parse a PNG container back to (width, height) — the real decode the
-    * batched slot runs for image rows.
+  /** Encode with a REUSED ImageWriter (same plugin `ImageIO.write` selects,
+    * default params — byte-identical output, pinned in MultimodalSpec):
+    * `ImageIO.write` performs a synchronized registry lookup per call,
+    * which 32 concurrent encode tasks contend on.
+    */
+  def newPngWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+  def makePngWith(writer: javax.imageio.ImageWriter, w: Int, h: Int, seed: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(renderImage(w, h, seed), null, null), null)
+      ios.flush()
+    } finally {
+      writer.reset()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Parse a PNG container back to (width, height) via a FULL pixel decode
+    * — kept as the test-pinned round-trip reference (MultimodalSpec).
     */
   def decodePng(bytes: Array[Byte]): (Int, Int) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     (img.getWidth, img.getHeight)
+  }
+
+  /** Header-only (width, height) parse with a REUSED ImageReader — the
+    * production shape for metadata extraction (VERDICT r7 item 8): the
+    * reader parses the real PNG IHDR through the same javax.imageio codec
+    * but skips the pixel inflate, and reusing one reader per partition
+    * skips the per-image plugin lookup. This is what lazy metadata reads
+    * do everywhere (PIL's `.size`, exiftool): dimensions live in the
+    * header; decoding pixels to learn them is wasted inflate. Pinned
+    * equal to the full-decode [[decodePng]] in MultimodalSpec.
+    */
+  def newPngReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+  def decodePngHeader(reader: javax.imageio.ImageReader, bytes: Array[Byte]): (Int, Int) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      (reader.getWidth(0), reader.getHeight(0))
+    } finally {
+      reader.reset()
+      iis.close()
+    }
   }
 
   /** Deterministic audio parameters for doc fields (the generation formula
@@ -104,8 +158,7 @@ object Multimodal {
     * 2·channels·nSamples data bytes (pinned in MultimodalSpec — the
     * frame-sample oracle relies on octet_length being that formula).
     */
-  def makeWav(sampleRate: Int, channels: Int, nSamples: Long, seed: Long): Array[Byte] = {
-    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+  private def pcmSamples(channels: Int, nSamples: Long, seed: Long): Array[Byte] = {
     val pcm = new Array[Byte](2 * channels * nSamples.toInt)
     var i = 0
     while (i < pcm.length / 2) {
@@ -114,6 +167,12 @@ object Multimodal {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
+    pcm
+  }
+
+  def makeWav(sampleRate: Int, channels: Int, nSamples: Long, seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val pcm = pcmSamples(channels, nSamples, seed)
     val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nSamples)
@@ -122,8 +181,61 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** WAVE codec providers resolved ONCE (per partition) through the public
+    * javax.sound.sampled.spi ServiceLoader surface. `AudioSystem.write` /
+    * `getAudioInputStream` re-run a SYNCHRONIZED provider-registry lookup
+    * on every call — measured ANTI-scaling on 32 threads (WAV encode
+    * 2.4 s single-thread → 4.6 s ×32; decode 1.8 → 3.4 s), which
+    * serialized the whole multimodal stage. The provider instances are
+    * the same JDK WAVE codec AudioSystem selects; per-call behavior is
+    * byte-identical (pinned in MultimodalSpec).
+    */
+  def newWavWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter provider"))
+  }
+
+  def newWavReader(): javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    // select by probing a canonical WAV — provider choice by capability,
+    // not by class name
+    val probe = makeWav(8000, 1, 4, 0L)
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala
+      .find { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close(); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileReader provider"))
+  }
+
+  def makeWavWith(
+      writer: javax.sound.sampled.spi.AudioFileWriter,
+      sampleRate: Int, channels: Int, nSamples: Long, seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioFileFormat}
+    val pcm = pcmSamples(channels, nSamples, seed)
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nSamples)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  def decodeWavWith(
+      reader: javax.sound.sampled.spi.AudioFileReader, bytes: Array[Byte]): (Int, Int, Long) = {
+    val ais = reader.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      (fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength)
+    } finally ais.close()
+  }
+
   /** Parse a WAV container back to (sample_rate, channels, n_samples) —
-    * the real decode the batched slot runs for audio rows.
+    * the AudioSystem one-shot reference (test-pinned; the hot path uses
+    * [[decodeWavWith]]).
     */
   def decodeWav(bytes: Array[Byte]): (Int, Int, Long) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -157,13 +269,21 @@ object Multimodal {
     }
     wanted
       .as[(Long, Long, String)]
-      .map { case (docId, nChars, _) =>
-        if (nChars % 2 == 0) {
-          val (w, h) = imageDims(nChars)
-          (docId, "image", makePng(w, h, docId))
-        } else {
-          val (rate, ch, n) = audioParams(nChars)
-          (docId, "audio", makeWav(rate, ch, n, docId))
+      .mapPartitions { rows =>
+        // one PNG writer + one WAVE writer per partition (see makePngWith /
+        // newWavWriter): the synchronized ImageIO / AudioSystem registry
+        // lookups otherwise run once per ITEM across 32 concurrent encode
+        // tasks — the AudioSystem one measurably anti-scales
+        lazy val writer = newPngWriter()
+        lazy val wavWriter = newWavWriter()
+        rows.map { case (docId, nChars, _) =>
+          if (nChars % 2 == 0) {
+            val (w, h) = imageDims(nChars)
+            (docId, "image", makePngWith(writer, w, h, docId))
+          } else {
+            val (rate, ch, n) = audioParams(nChars)
+            (docId, "audio", makeWavWith(wavWriter, rate, ch, n, docId))
+          }
         }
       }
       .toDF("doc_id", "media_type", "content")
@@ -189,14 +309,20 @@ object Multimodal {
       .select(col("doc_id"), col("media_type"), col("content"), col("byte_len"), col("checksum_md5"))
       .as[MediaRow]
       .mapPartitions { rows =>
+        // one PNG reader + one WAVE reader per partition: plugin lookup
+        // once, header-only parse per item (see decodePngHeader /
+        // newWavReader) — the one-shot decodePng/decodeWav forms are the
+        // test-pinned references, not the metadata hot path
+        lazy val reader = newPngReader()
+        lazy val wavReader = newWavReader()
         rows.grouped(DecodeBatchSize).flatMap { batch =>
           batch.map { r =>
             if (r.media_type == "image") {
-              val (w, h) = decodePng(r.content)
+              val (w, h) = decodePngHeader(reader, r.content)
               MediaMeta(r.doc_id, r.media_type, r.byte_len,
                 Some(w), Some(h), None, None, None, r.checksum_md5)
             } else {
-              val (rate, ch, n) = decodeWav(r.content)
+              val (rate, ch, n) = decodeWavWith(wavReader, r.content)
               MediaMeta(r.doc_id, r.media_type, r.byte_len,
                 None, None, Some(rate), Some(ch), Some(n), r.checksum_md5)
             }
@@ -215,6 +341,14 @@ object Multimodal {
     extractMeta(spark, syntheticMedia(spark, sf))
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
         col("sample_rate"), col("channels"), col("n_samples"))
+      // Materialize the SKINNY metadata (7 scalar columns, one row per
+      // media item) before the total sort: a global ORDER BY range-samples
+      // its child to pick partition bounds, and un-materialized that
+      // sampling pass re-ran the entire encode+decode pipeline — stage
+      // attribution at sf1 showed two ~8 s codec stages for one query
+      // (docs/BENCH_NOTES.md round-8 §5). A production metadata table is
+      // persisted state anyway; the payloads never flow into the sort.
+      .localCheckpoint()
       .orderBy(col("doc_id"))
 
   val multimodalMetaSql: String =
@@ -243,6 +377,9 @@ object Multimodal {
         col("height"),
         expr("CAST(width AS BIGINT) * 256 div greatest(width, height)").as("out_w"),
         expr("CAST(height AS BIGINT) * 256 div greatest(width, height)").as("out_h"))
+      // same skinny-metadata materialization as multimodalMeta: the sort's
+      // range-sampling pass must not re-run the PNG encode
+      .localCheckpoint()
       .orderBy(col("doc_id"))
 
   val multimodalResizeSql: String =
@@ -272,6 +409,9 @@ object Multimodal {
         col("duration_s"),
         explode(expr("sequence(0, duration_s * 4 - 1, 8)")).as("frame_no"))
       .withColumn("t_offset_s", col("frame_no").cast("double") / 4.0)
+      // same skinny materialization: the sort sampling must not re-run the
+      // WAV encode (the frame rows carry 4 scalar columns)
+      .localCheckpoint()
       .orderBy(col("doc_id"), col("frame_no"))
 
   val multimodalFrameSampleSql: String =

@@ -74,10 +74,19 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("decode runs distributed: plan has no driver-side collect") {
-    val meta = Multimodal.multimodalMeta(spark, Sf0001)
+    // inspect the pre-checkpoint pipeline: the registered multimodal_meta
+    // localCheckpoints the skinny metadata before its ORDER BY (so the
+    // sort's range sampling can't re-run the codec), which truncates the
+    // visible lineage — the decode stage itself lives in extractMeta
+    val meta = Multimodal.extractMeta(spark, Multimodal.syntheticMedia(spark, Sf0001))
     // mapPartitions shows up as a (De)SerializeFromObject + MapPartitions plan
     val plan = meta.queryExecution.executedPlan.toString()
     assert(plan.contains("MapPartitions"), plan.take(500))
+    // localCheckpoint keeps partitions on executors — nothing in the
+    // registered query collects to the driver (the checkpointed scan shows
+    // as an RDD scan, not a LocalTableScan of collected rows)
+    val registered = Multimodal.multimodalMeta(spark, Sf0001).queryExecution.executedPlan.toString()
+    assert(!registered.contains("LocalTableScan"), registered.take(500))
   }
 
   test("checksum and byte_len describe the actual payload bytes") {
@@ -97,5 +106,41 @@ class MultimodalSpec extends AnyFunSuite {
     val imageBad = meta.where(col("media_type") === "image")
       .where(col("byte_len") <= 8 || length(col("checksum_md5")) =!= 32)
     assert(imageBad.count() === 0)
+  }
+
+  test("header-only PNG parse (reused reader) equals the full-decode dimensions") {
+    // the metadata hot path reads only the IHDR; pin it to the pixel-
+    // inflating reference decode on a spread of generated sizes
+    val reader = Multimodal.newPngReader()
+    try {
+      Seq(0L, 2L, 46L, 62L, 94L, 126L, 1000L, 4094L).foreach { n =>
+        val (w, h) = Multimodal.imageDims(n)
+        val png = Multimodal.makePng(w, h, n)
+        assert(Multimodal.decodePngHeader(reader, png) === Multimodal.decodePng(png))
+      }
+    } finally reader.dispose()
+  }
+
+  test("reused-writer PNG encode is byte-identical to the ImageIO.write reference") {
+    val writer = Multimodal.newPngWriter()
+    try {
+      Seq(0L, 2L, 46L, 62L, 94L, 126L, 1000L, 4094L).foreach { n =>
+        val (w, h) = Multimodal.imageDims(n)
+        assert(java.util.Arrays.equals(
+          Multimodal.makePngWith(writer, w, h, n), Multimodal.makePng(w, h, n)))
+      }
+    } finally writer.dispose()
+  }
+
+  test("SPI-resolved WAV writer/reader are byte- and field-identical to the AudioSystem forms") {
+    val w = Multimodal.newWavWriter()
+    val r = Multimodal.newWavReader()
+    Seq(1L, 3L, 47L, 63L, 95L, 127L, 1001L, 4095L).foreach { n =>
+      val (rate, ch, s0) = Multimodal.audioParams(n)
+      val viaSpi = Multimodal.makeWavWith(w, rate, ch, s0, n)
+      val viaSystem = Multimodal.makeWav(rate, ch, s0, n)
+      assert(java.util.Arrays.equals(viaSpi, viaSystem))
+      assert(Multimodal.decodeWavWith(r, viaSpi) === Multimodal.decodeWav(viaSystem))
+    }
   }
 }
