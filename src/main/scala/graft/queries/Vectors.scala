@@ -914,7 +914,11 @@ object Vectors {
     // two closest cells. Single-assignment recall at small cell counts is
     // poor (measured 0.31 at sf0.001 — boundary pairs split); probe-2
     // recovers it the same way it lifts IVF recall@3 to 0.83+.
-    semanticFromAssigned(assignTop2(emb, cells, params))
+    // materialize the top-2 assignment (the IVF index artifact, skinny
+    // rows): semanticFromAssigned joins it to ITSELF (pair sides a and b),
+    // and un-checkpointed the whole two-level routing chain executed twice
+    // (round-8 plan audit: 16 shuffles -> 8)
+    semanticFromAssigned(assignTop2(emb, cells, params).localCheckpoint())
   }
 
   /** The persisted-quantizer regime of [[dedupSemantic]] (VERDICT r6 item
@@ -1034,6 +1038,10 @@ object Vectors {
     val inv = scoredCells(emb, cells, params)
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("ec_dot"), (-col("cell")).as("nc"))).as("cell"))
+      // materialize the (vec_id, cell) assignment: topicsFromAssignment's
+      // token stream feeds FOUR aggregations (ctc/nc/ct/nt), and
+      // un-checkpointed each re-ran the routing chain (round-8 plan audit)
+      .localCheckpoint()
     topicsFromAssignment(spark, sf, inv)
   }
 

@@ -36,7 +36,9 @@ object PlanAudit {
           "BroadcastNestedLoopJoin" -> n("BroadcastNestedLoopJoin"),
           "CartesianProduct" -> n("CartesianProduct"))
           .filter(_._2 > 0).map { case (k, v) => s"${k}x$v" }.mkString(",")
-        val exchanges = n("Exchange") - n("BroadcastExchange")
+        // a ReusedExchange consumes an already-materialized exchange —
+        // counting it as a shuffle double-prices shared subplans
+        val exchanges = n("(?<!Reused)(?<!Broadcast)Exchange")
         // codegen fusion shows as "*(id)" operator prefixes in tree strings;
         // distinct ids = number of fused spans
         val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
