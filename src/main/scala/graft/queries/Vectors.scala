@@ -92,6 +92,72 @@ object Vectors {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |ORDER BY dot DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin
 
+  // -------------------------------------------- quantized-store kNN scan
+  /** Top-3 neighbors per query over the INT8-QUANTIZED embedding store —
+    * the memory-bound production scan path (round-8 addition): a corpus
+    * whose vectors are stored 4× smaller (the [[embeddingQuantize]]
+    * representation) is linearly scanned with integer dot products. This
+    * is the asymmetric sibling of the float brute force: same query set
+    * convention as ann_ivf (vec_id < 10), self excluded, rank by
+    * (int_dot DESC, neighbor ASC).
+    *
+    * Scale shape: the 10-row quantized query side BROADCASTS onto the
+    * corpus scan — cost is one linear pass (n·|queries| integer dots),
+    * never all-pairs, so no guard is needed. All arithmetic after
+    * quantization is EXACT int64 (|q| ≤ 127, 64 dims ⇒ |dot| ≤ 2²⁰), so
+    * both engines agree bit-for-bit; the quantization itself reuses the
+    * embedding_quantize formula (norm fold + round-half-up ×127), already
+    * hash-proven across engines. Recall vs the float brute force is
+    * pinned in ExtrasSpec (int8 on unit-normed vectors loses < 1% top-3
+    * overlap here; floor 0.6).
+    */
+  def knnQuantized(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q8 = Det.spreadSmallScan(spark, Tables.embeddings(spark, sf))
+      .withColumn(
+        "norm",
+        sqrt(expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS BIGINT))")
+          .as("q"))
+    val queries = q8.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    q8.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"), col("vec_id").as("neighbor"),
+        expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("int_dot"))
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("int_dot").desc, col("neighbor").asc)))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor"), col("int_dot"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val knnQuantizedSql: String =
+    """WITH q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS BIGINT)) AS q
+      |  FROM (
+      |    SELECT vec_id, embedding,
+      |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |        (acc, x) -> acc + x)) AS norm
+      |    FROM embeddings)
+      |), scored AS (
+      |  SELECT p.vec_id AS qid, e.vec_id AS neighbor,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, len(e.q) + 1),
+      |      i -> e.q[i] * p.q[i])), (acc, x) -> acc + x) AS int_dot
+      |  FROM q8 e JOIN (SELECT vec_id, q FROM q8 WHERE vec_id < 10) p
+      |    ON e.vec_id <> p.vec_id
+      |)
+      |SELECT qid, rank, neighbor, int_dot FROM (
+      |  SELECT qid, neighbor, int_dot,
+      |    row_number() OVER (PARTITION BY qid ORDER BY int_dot DESC, neighbor ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   // ---------------------------------------------------------------- §2.I7
   /** Cosine top-k: norms computed once per vector (not per pair), then the
     * same all-pairs join. cosine = dot / (norm_a · norm_b); sqrt is IEEE
@@ -1118,6 +1184,7 @@ object Vectors {
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("knn_brute_force", knnBruteForce _, knnBruteForceSql),
+    ("knn_quantized", knnQuantized _, knnQuantizedSql),
     ("cosine_topk", cosineTopk _, cosineTopkSql),
     ("dedup_embedding_cosine", dedupEmbeddingCosine _, dedupEmbeddingCosineSql),
     ("dedup_embedding_lsh", dedupEmbeddingLsh _, dedupEmbeddingLshSql),

@@ -80,6 +80,14 @@ class ExtrasSpec extends AnyFunSuite {
     // 0.30 — labels are not a geometric partition of this space); 0.6 is
     // the regression floor
     assert(ivfRecall >= 0.6, s"IVF recall@3 = $ivfRecall")
+
+    // int8-quantized linear scan: quantization error may flip near-ties,
+    // but top-3 overlap with the float scan stays high on unit-normed
+    // int8 (measured 1.0 at this SF; 0.6 is the regression floor)
+    val quant = Vectors.knnQuantized(spark, Sf0001)
+      .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qRecall = all.intersect(quant).size.toDouble / all.size
+    assert(qRecall >= 0.6, s"quantized recall@3 = $qRecall")
   }
 
   test("ann_ivf_probe: build persists cells + inverted file, probe output == in-query training output") {

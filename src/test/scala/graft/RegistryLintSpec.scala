@@ -32,7 +32,7 @@ class RegistryLintSpec extends AnyFunSuite {
     "docs_profile", "domain_rebalance", "embedding_outliers", "embedding_quantize", "filter_predicates", "funnel_stages",
     "gopher_quality_rules", "hash_md5_dedup", "join_anti", "join_asof", "join_broadcast", "join_full_outer",
     "join_inner", "join_left_outer", "join_range", "join_semi", "join_sortmerge", "json_extract_agg",
-    "knn_brute_force", "knn_lsh_bucketed", "lang_id", "length_quantile_filter", "line_dedup_rebuild", "map_explode",
+    "knn_brute_force", "knn_lsh_bucketed", "knn_quantized", "lang_id", "length_quantile_filter", "line_dedup_rebuild", "map_explode",
     "math_funcs", "mix_temperature", "multimodal_frame_sample", "multimodal_meta", "multimodal_resize", "ngram_bigrams",
     "ngram_novelty", "pack_sequences", "percentile_summary", "pii_scrub", "pipeline_clean_dedup_profile", "q1_pricing_summary",
     "q3_join_topk", "q5_multijoin", "quality_calibration", "quality_logit_score", "regex_clean", "repetition_score",
@@ -43,11 +43,11 @@ class RegistryLintSpec extends AnyFunSuite {
     "tokenize_wordcount", "topk_orders", "vocab_coverage", "weighted_sample", "window_first_last_nth", "window_lag_change_detect",
     "window_moving_avg", "window_rank", "window_rolling_range", "window_running_sum", "window_topk_per_group", "winnow_fingerprints")
 
-  test("SparkEntry.queries covers the frozen contract-name set (126 names)") {
+  test("SparkEntry.queries covers the frozen contract-name set (127 names)") {
     val missing = contractNames -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
       s"contract queries dropped from the registry: ${missing.toSeq.sorted.mkString(", ")}")
-    // every contract name keeps its oracle too (all 126 are SQL-checked)
+    // every contract name keeps its oracle too (all 127 are SQL-checked)
     val noOracle = contractNames -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty,
       s"contract queries without oracle SQL: ${noOracle.toSeq.sorted.mkString(", ")}")
