@@ -169,14 +169,32 @@ object Windows {
       |) WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   /** Top-3 orders by price per market segment. */
+  /** Top-3 orders per market segment — the LOW-cardinality top-k-per-group
+    * shape (5 distinct segments). Round-8 restructure: a single window
+    * partitioned by segment caps parallelism at 5 tasks — at sf3 that
+    * meant 5 tasks sorting ~900 k rows each (measured e = 1.58), and at
+    * 100 TB it is a scale bug outright. The two-phase form is the
+    * classic distributed exact top-k: a deterministic content-hash salt
+    * fans the local pass out to 5×32 partitions, each keeping its local
+    * top-3; the global pass ranks only the ≤ 5·32·3 survivors. The
+    * global top-3 per segment is necessarily within the union of
+    * per-salt top-3s, so the result is EXACT — the oracle keeps the
+    * plain single-window SQL.
+    */
   def windowTopkPerGroup(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window
+    val wLocal = Window
+      .partitionBy(col("c_mktsegment"), col("salt"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wGlobal = Window
       .partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     Tables
       .orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
-      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(32)))
+      .withColumn("lrn", row_number().over(wLocal))
+      .where(col("lrn") <= 3)
+      .withColumn("rn", row_number().over(wGlobal).cast("long"))
       .where(col("rn") <= 3)
       .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("c_mktsegment"), col("rn"))
