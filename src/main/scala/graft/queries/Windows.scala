@@ -63,6 +63,89 @@ object Windows {
       |) WHERE rn <= 10
       |ORDER BY c_mktsegment, rn""".stripMargin
 
+  /** The SCALE-SAFE twin of [[windowRank]] (round-8): the rank family over
+    * a LOW-cardinality partition key (5 segments) caps the window form at
+    * 5 tasks — fine while a segment fits one task (the documented
+    * boundary), a wall at 100 TB. This form never sorts a segment: the
+    * top-10-per-segment OUTPUT rows are found by the salted local-top-k
+    * pass (any global top-10 row is in some per-salt top-10), and every
+    * window statistic of those rows is reconstructed EXACTLY from
+    * per-segment count arithmetic —
+    *   rnk   = 1 + |rows with value > v|            (tie rank)
+    *   drnk  = 1 + |distinct values > v|
+    *   prnk  = (rnk − 1) / (N − 1)                  (0 when N = 1)
+    *   cdist = |rows with value ≥ v| / N
+    *   rn    = rnk + |equal-value rows with smaller key|
+    *   ntile = Spark's bucket formula from (rn, N)
+    * computed by joining the tiny broadcast candidate set against the
+    * per-(segment, value) count table (one corpus aggregation) — every
+    * pass is a hash aggregate or a broadcast join, nothing is
+    * single-partition. Registered under the SAME oracle SQL: the output
+    * is bit-identical to the window form (pinned in ExtrasSpec too).
+    */
+  def windowRankTwoPhase(spark: SparkSession, sf: String): DataFrame = {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_mktsegment").as("seg"), col("c_custkey").as("k"), col("c_acctbal").as("v"))
+    val segN = cust.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    // per-(segment, value) tie counts — the one corpus-wide aggregation
+    val vals = cust.groupBy(col("seg"), col("v")).agg(count(lit(1)).as("cnt"))
+    // exact candidate superset: salted local top-10 per segment
+    val cand = cust
+      .withColumn("salt", pmod(xxhash64(col("k")), lit(32)))
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("seg"), col("salt")).orderBy(col("v").desc, col("k").asc)))
+      .where(col("lrn") <= 10)
+      .select(col("seg"), col("k").as("ck"), col("v").as("cv"))
+    // greater-value / distinct-greater / at-least counts per candidate
+    val gtAgg = vals
+      .join(broadcast(cand), Seq("seg"))
+      .where(col("v") >= col("cv"))
+      .groupBy(col("seg"), col("ck"), col("cv"))
+      .agg(
+        sum(when(col("v") > col("cv"), col("cnt")).otherwise(0L)).as("gt_cnt"),
+        sum(when(col("v") > col("cv"), 1L).otherwise(0L)).as("gt_dist"),
+        sum(col("cnt")).as("ge_cnt"))
+    // equal-value rows with a smaller key (breaks the tie inside rn)
+    val cand2 = cand.select(col("seg").as("cseg"), col("ck"), col("cv"))
+    val eqLt = cust
+      .join(broadcast(cand2),
+        col("seg") === col("cseg") && col("v") === col("cv") && col("k") < col("ck"))
+      .groupBy(col("cseg"), col("ck"), col("cv"))
+      .agg(count(lit(1)).as("eq_lt"))
+      .withColumnRenamed("cseg", "seg")
+    val nt = col("rn0") // 1-based deterministic row_number reconstructed below
+    gtAgg
+      .join(eqLt, Seq("seg", "ck", "cv"), "left")
+      .na.fill(0L, Seq("eq_lt"))
+      .join(broadcast(segN), Seq("seg"))
+      .withColumn("rnk", (col("gt_cnt") + 1).cast("long"))
+      .withColumn("drnk", (col("gt_dist") + 1).cast("long"))
+      .withColumn("prnk",
+        when(col("n") === 1, lit(0.0))
+          .otherwise(col("gt_cnt").cast("double") / (col("n") - 1).cast("double")))
+      .withColumn("cdist", col("ge_cnt").cast("double") / col("n").cast("double"))
+      .withColumn("rn0", col("gt_cnt") + col("eq_lt") + 1)
+      .where(col("rn0") <= 10)
+      // Spark/DuckDB ntile(4): the first (n mod 4) buckets hold ⌈n/4⌉ rows
+      // (positive-operand `/`+cast = integer floor division)
+      .withColumn("bsz", floor(col("n") / 4).cast("long"))
+      .withColumn("rem", (col("n") % 4).cast("long"))
+      .withColumn(
+        "quartile",
+        when(col("bsz") === 0, nt) // n < 4: bucket = row position
+          .when(nt <= col("rem") * (col("bsz") + 1),
+            floor((nt - 1) / (col("bsz") + 1)) + 1)
+          .otherwise(col("rem") + floor((nt - col("rem") * (col("bsz") + 1) - 1) / col("bsz")) + 1))
+      .select(
+        col("seg").as("c_mktsegment"),
+        col("ck").as("c_custkey"),
+        col("cv").as("c_acctbal"),
+        col("rnk"), col("drnk"), col("prnk"), col("cdist"),
+        col("rn0").cast("long").as("rn"),
+        col("quartile").cast("long").as("quartile"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
   // ---------------------------------------------------------------- §2.E2
   /** lag-based change detection — the reference's prev-hash vs new-hash
     * compare relationalized: per-user value delta and type-change flag.
@@ -285,6 +368,8 @@ object Windows {
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("window_rank", windowRank _, windowRankSql),
+    // identical output by construction — same oracle (scale-safe twin)
+    ("window_rank_twophase", windowRankTwoPhase _, windowRankSql),
     ("window_first_last_nth", windowFirstLastNth _, windowFirstLastNthSql),
     ("window_lag_change_detect", windowLagChangeDetect _, windowLagChangeDetectSql),
     ("window_running_sum", windowRunningSum _, windowRunningSumSql),

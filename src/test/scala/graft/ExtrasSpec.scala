@@ -247,4 +247,13 @@ class ExtrasSpec extends AnyFunSuite {
     assert(err < 0.5, s"max reconstruction error $err")
     q.unpersist()
   }
+
+  test("window_rank_twophase == window_rank bit-for-bit at two SFs") {
+    import graft.queries.Windows
+    Seq(Sf0001, "/root/testdata/sf0.01").foreach { sf =>
+      val window = Windows.windowRank(spark, sf).collect().map(_.toSeq)
+      val twoPhase = Windows.windowRankTwoPhase(spark, sf).collect().map(_.toSeq)
+      assert(twoPhase === window, s"mismatch at $sf")
+    }
+  }
 }

@@ -41,13 +41,13 @@ class RegistryLintSpec extends AnyFunSuite {
     "stratified_sample", "stream_drift_chi2", "stream_sliding", "stream_tumbling_hourly", "string_funcs", "string_funcs2",
     "text_normalize", "text_quality_score", "tfidf_top_terms", "token_count", "token_diversity", "token_histogram",
     "tokenize_wordcount", "topk_orders", "vocab_coverage", "weighted_sample", "window_first_last_nth", "window_lag_change_detect",
-    "window_moving_avg", "window_rank", "window_rolling_range", "window_running_sum", "window_topk_per_group", "winnow_fingerprints")
+    "window_moving_avg", "window_rank", "window_rank_twophase", "window_rolling_range", "window_running_sum", "window_topk_per_group", "winnow_fingerprints")
 
-  test("SparkEntry.queries covers the frozen contract-name set (127 names)") {
+  test("SparkEntry.queries covers the frozen contract-name set (128 names)") {
     val missing = contractNames -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
       s"contract queries dropped from the registry: ${missing.toSeq.sorted.mkString(", ")}")
-    // every contract name keeps its oracle too (all 127 are SQL-checked)
+    // every contract name keeps its oracle too (all 128 are SQL-checked)
     val noOracle = contractNames -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty,
       s"contract queries without oracle SQL: ${noOracle.toSeq.sorted.mkString(", ")}")
