@@ -25,13 +25,17 @@ object Windows {
     * tie-bearing order, plus row_number/ntile over a fully-deterministic
     * order. Top-10 per market segment.
     */
-  def windowRank(spark: SparkSession, sf: String): DataFrame = {
+  def windowRank(spark: SparkSession, sf: String): DataFrame =
+    windowRankOn(Tables.customer(spark, sf))
+
+  /** The window-form body over any (c_mktsegment, c_custkey, c_acctbal)
+    * frame — exposed so tests can stress tie-heavy synthetic inputs. */
+  private[graft] def windowRankOn(cust: DataFrame): DataFrame = {
     val wTie = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
     val wUnique = Window
       .partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    Tables
-      .customer(spark, sf)
+    cust
       .select(
         col("c_mktsegment"),
         col("c_custkey"),
@@ -83,8 +87,11 @@ object Windows {
     * single-partition. Registered under the SAME oracle SQL: the output
     * is bit-identical to the window form (pinned in ExtrasSpec too).
     */
-  def windowRankTwoPhase(spark: SparkSession, sf: String): DataFrame = {
-    val cust = Tables.customer(spark, sf)
+  def windowRankTwoPhase(spark: SparkSession, sf: String): DataFrame =
+    windowRankTwoPhaseOn(Tables.customer(spark, sf))
+
+  private[graft] def windowRankTwoPhaseOn(cust0: DataFrame): DataFrame = {
+    val cust = cust0
       .select(col("c_mktsegment").as("seg"), col("c_custkey").as("k"), col("c_acctbal").as("v"))
     val segN = cust.groupBy(col("seg")).agg(count(lit(1)).as("n"))
     // per-(segment, value) tie counts — the one corpus-wide aggregation

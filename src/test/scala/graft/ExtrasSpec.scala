@@ -256,4 +256,19 @@ class ExtrasSpec extends AnyFunSuite {
       assert(twoPhase === window, s"mismatch at $sf")
     }
   }
+
+  test("window_rank_twophase == window_rank on a tie-saturated synthetic frame") {
+    import spark.implicits._
+    import graft.queries.Windows
+    // 3 segments x 400 rows drawn from only FOUR distinct balances: every
+    // rank statistic is tie-dominated, percent_rank/cume_dist denominators
+    // stress N-1/N arithmetic, and ntile buckets split mid-tie
+    val rows = for {
+      seg <- Seq("A", "B", "C"); i <- 0 until 400
+    } yield (seg, (seg.hashCode.abs * 1000 + i).toLong, Seq(1.0, 2.0, 2.0, 7.5)(i % 4))
+    val df = rows.toDF("c_mktsegment", "c_custkey", "c_acctbal")
+    val viaWindow = Windows.windowRankOn(df).collect().map(_.toSeq)
+    val viaTwoPhase = Windows.windowRankTwoPhaseOn(df).collect().map(_.toSeq)
+    assert(viaTwoPhase === viaWindow)
+  }
 }
