@@ -319,31 +319,39 @@ object Vectors {
   // def, not val: dedupEmbeddingLshSql above interpolates this during
   // object init, and a val declared later would still be null at that point
   //
-  // Bits per table are ADAPTIVE (round-7 sf1 fix): a fixed 4 bits means a
-  // constant 16 buckets/table, so 10× vectors → 10× occupancy → 100×
-  // within-bucket pairs (measured ×128 at sf1). bits =
-  // clamp(ceil(log2(n/125)), 4, 16) keeps expected occupancy ≤~125, so the
-  // candidate count grows ~linearly. n ≤ 2000 (every driver SF) stays at
-  // exactly 4 bits — identical buckets, results, and pinned recall floors.
-  // The count is computed IN-PLAN (a 1-row aggregate, broadcast), not
-  // driver-side, so the static SQL twin can apply the identical formula.
-  // Cap 16 = 64 dims / 4 tables (sign-LSH spends one dimension per bit);
-  // past n ≈ 125·2^16 ≈ 8 M vectors per partition-group you'd switch to
-  // random-hyperplane projections (bits no longer bounded by dims) — at
-  // that scale this whole query runs per corpus shard anyway.
+  // Bucket count per table is ADAPTIVE and SMOOTH (round-8; the round-7
+  // form adapted a PREFIX BIT count, whose 2^b bucket counts stair-step —
+  // occupancy oscillated ×2 across each boundary and the measured local
+  // exponent between two fixture scales swung 1.3–2.1 with it). Each
+  // table owns a FIXED 16-dimension slice (4 tables × 16 = all 64 dims);
+  // a vector's 16 sign bits read as a binary integer s (first dimension =
+  // HIGH bit), and its bucket is the RADIX bin floor(s·nb / 2^16) with
+  // nb = clamp(⌈n/125⌉, 16, 65536) — buckets are contiguous sign-prefix
+  // ranges (locality identical in kind to prefix bits, granularity now
+  // interpolating BETWEEN bit widths), expected occupancy pinned at ~125
+  // at every n. At the fixture SFs (n ≤ 2000) nb floors at 16, so each
+  // bucket is exactly a 4-bit sign prefix of the table's slice. The
+  // count is computed IN-PLAN (a 1-row aggregate, broadcast), not
+  // driver-side, so the static SQL twin applies the identical integer
+  // arithmetic (s·nb < 2^32 — exact in BIGINT/long everywhere). Past
+  // n ≈ 125·2^16 ≈ 8 M vectors per partition-group you'd switch to
+  // random-hyperplane projections (sign bits no longer bounded by dims) —
+  // at that scale this whole query runs per corpus shard anyway.
   // defs, not vals, for the same init-order reason as lshCandidateUnionSql
   private def LshTargetOccupancy = 125.0
-  private def lshBitsSql: String =
-    s"SELECT LEAST(16, GREATEST(4, CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / $LshTargetOccupancy)) AS INT))) AS bits FROM embeddings"
+  private def lshNbSql: String =
+    s"SELECT LEAST(65536, GREATEST(16, CAST(CEIL(COUNT(*) / $LshTargetOccupancy) AS INT))) AS nb FROM embeddings"
   private[queries] def lshCandidateUnionSql: String = {
     def bucketExpr(t: Int) =
-      s"array_to_string(list_transform(range(p.bits * $t + 1, p.bits * ${t + 1} + 1), " +
-        s"i -> CASE WHEN embedding[i] > 0 THEN '1' ELSE '0' END), '')"
+      s"CAST(FLOOR(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(${16 * t + 1}, ${16 * t + 17}), " +
+        s"i -> CAST(CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END AS BIGINT))), " +
+        s"(acc, b) -> acc * 2 + b) * p.nb / 65536.0) AS BIGINT)"
     (0 until 4)
       .map(t =>
         s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM " +
-          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings, ($lshBitsSql) p) a JOIN " +
-          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings, ($lshBitsSql) p) b " +
+          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings, ($lshNbSql) p) a JOIN " +
+          s"(SELECT vec_id, ${bucketExpr(t)} AS bkt FROM embeddings, ($lshNbSql) p) b " +
           s"ON a.bkt = b.bkt AND a.vec_id < b.vec_id")
       .mkString("\n  UNION\n  ")
   }
@@ -357,15 +365,17 @@ object Vectors {
     // 1-row aggregate, broadcast onto every row: the same adaptive-bits
     // formula the SQL twin computes (see lshBitsSql).
     val params = e.agg(
-      least(
-        lit(16),
-        greatest(lit(4), ceil(log2(greatest(count(lit(1)), lit(1L)) / LshTargetOccupancy))))
-        .cast("int").as("bits"))
-    def bucketFor(t: Int) = array_join(
-      transform(
-        sequence(col("bits") * t + 1, col("bits") * (t + 1)),
-        i => when(element_at(col("embedding"), i) > 0f, "1").otherwise("0")),
-      "")
+      least(lit(65536), greatest(lit(16), ceil(count(lit(1)) / LshTargetOccupancy)))
+        .cast("long").as("nb"))
+    // radix bin of the table's 16-bit sign integer — see the adjacent
+    // lshCandidateUnionSql scaladoc for the scheme and its bounds
+    def bucketFor(t: Int) = floor(
+      aggregate(
+        transform(
+          sequence(lit(16 * t + 1), lit(16 * t + 16)),
+          i => when(element_at(col("embedding"), i) > 0f, 1L).otherwise(0L)),
+        lit(0L),
+        (acc, b) => acc * 2 + b) * col("nb") / lit(65536.0)).cast("long")
     val buckets = array((0 until 4).map(t => struct(lit(t).as("t"), bucketFor(t).as("bkt"))): _*)
     val tb = e.crossJoin(broadcast(params)).select(col("vec_id"), explode(buckets).as("b"))
       .select(col("vec_id"), col("b.t").as("t"), col("b.bkt").as("bkt"))
