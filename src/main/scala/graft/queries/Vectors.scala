@@ -255,17 +255,18 @@ object Vectors {
     */
   def dedupEmbeddingLsh(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables
-      .embeddings(spark, sf)
-      .select(col("vec_id"), col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    lshCandidatePairs(spark, sf)
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b")), "vec_b")
+    // cosine computed IN the bucket join's projection (see lshScoredPairs);
+    // the ≥-threshold filter runs BEFORE the distinct, so the only full
+    // shuffle of this query carries the few true near-dup pairs, not the
+    // 250·n candidate stream. A pair colliding in several tables yields
+    // bit-identical cosines (same fold, same inputs), so distinct is exact.
+    lshScoredPairs(spark, sf)
       .select(
         col("vec_a"),
         col("vec_b"),
         (dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))).as("cosine"))
       .where(col("cosine") >= 0.4)
+      .distinct()
       .withColumn(
         "rn",
         row_number().over(Window.partitionBy(col("vec_b")).orderBy(col("vec_a").asc)))
@@ -356,14 +357,19 @@ object Vectors {
       .mkString("\n  UNION\n  ")
   }
 
-  /** Distinct (vec_a < vec_b) pairs sharing a bucket in ANY of the 4 LSH
-    * tables — the shared candidate generator for [[knnLshBucketed]] and
-    * [[dedupEmbeddingLsh]].
+  /** The exploded (vec_id, embedding, norm, t, bkt) bucket table of the 4
+    * LSH hash tables — the EXACT bucketing [[lshScoredPairs]] self-joins.
+    * The embedding (and its norm, computed once per vector BEFORE the
+    * 4-way explode) rides along so the self-join emits pairs already
+    * carrying both sides' vectors — the r9 restructure that removed the
+    * post-candidate attach joins (see [[lshScoredPairs]]). Exposed
+    * private[graft] so tools/LshOccupancy measures the shipped scheme
+    * itself, never a re-derivation that could drift from it.
     */
-  private[queries] def lshCandidatePairs(spark: SparkSession, sf: String): DataFrame = {
+  private[graft] def lshBucketTable(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.embeddings(spark, sf)
     // 1-row aggregate, broadcast onto every row: the same adaptive-bits
-    // formula the SQL twin computes (see lshBitsSql).
+    // formula the SQL twin computes (see lshNbSql).
     val params = e.agg(
       least(lit(65536), greatest(lit(16), ceil(count(lit(1)) / LshTargetOccupancy)))
         .cast("long").as("nb"))
@@ -377,25 +383,77 @@ object Vectors {
         lit(0L),
         (acc, b) => acc * 2 + b) * col("nb") / lit(65536.0)).cast("long")
     val buckets = array((0 until 4).map(t => struct(lit(t).as("t"), bucketFor(t).as("bkt"))): _*)
-    val tb = e.crossJoin(broadcast(params)).select(col("vec_id"), explode(buckets).as("b"))
-      .select(col("vec_id"), col("b.t").as("t"), col("b.bkt").as("bkt"))
-    tb.select(col("vec_id").as("vec_a"), col("t"), col("bkt"))
-      .join(tb.select(col("vec_id").as("vec_b"), col("t"), col("bkt")), Seq("t", "bkt"))
-      .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-      .distinct()
+    e.crossJoin(broadcast(params))
+      .select(
+        col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+        explode(buckets).as("b"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("b.t").as("t"), col("b.bkt").as("bkt"))
   }
 
-  def knnLshBucketed(spark: SparkSession, sf: String): DataFrame = {
-    val e = Tables.embeddings(spark, sf)
-    val candidates = lshCandidatePairs(spark, sf)
-    candidates
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-      .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("dot"))
+  /** Candidate pairs (vec_a < vec_b, sharing a bucket in ANY of the 4 LSH
+    * tables) with BOTH embeddings and norms attached IN the bucket
+    * self-join itself — NOT distinct yet (a pair colliding in several
+    * tables appears once per collision; callers project to narrow scored
+    * columns and distinct those).
+    *
+    * Round-9 restructure (VERDICT r8 item 1). The measured occupancy
+    * artifact (docs/LSH_OCCUPANCY.md) showed buckets FLAT (avg 125, max
+    * ≤ 169 across sf0.1/1/3) and candidate volume exactly linear
+    * (455 k → 4.96 M → 14.95 M distinct pairs) — skew was NOT the
+    * super-linear term. The plan was: the old shape shuffled+sorted the
+    * pair stream THREE times (distinct, then two sort-merge joins back to
+    * embeddings to fetch the vectors — broadcast at sf1 where the table
+    * is 5 MB, a sort-merge cliff at sf3 where 15 MB exceeds the bench's
+    * 8 MB threshold). Carrying the 64-float vector through the bucket
+    * stream costs one array per exploded row (4n rows ≈ 4× the table —
+    * linear, sorted on the tiny (t,bkt) key), and the pair stream that
+    * shuffles afterwards is narrow (ids + one double) and shuffles ONCE.
+    * Measured: sf3 dedup_embedding_lsh 8.0 → 1.3 s, knn_lsh_bucketed
+    * 6.4 → 2.3 s warm (sf1→sf3 exponents 1.52/1.16 → ≤ 1.1).
+    */
+  private def lshScoredPairs(spark: SparkSession, sf: String): DataFrame = {
+    val tb = lshBucketTable(spark, sf)
+    tb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a"), col("t"), col("bkt"))
+      .join(
+        tb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+          col("norm").as("norm_b"), col("t"), col("bkt")),
+        Seq("t", "bkt"))
+      .where(col("vec_a") < col("vec_b"))
+  }
+
+  /** Distinct (vec_a < vec_b) candidate pairs — kept for measurement
+    * (tools/LshOccupancy's realized-candidate count) and recall specs;
+    * the registered queries use [[lshScoredPairs]] directly.
+    */
+  private[graft] def lshCandidatePairs(spark: SparkSession, sf: String): DataFrame =
+    lshScoredPairs(spark, sf)
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+
+  /** Top-20 distinct pairs WITHOUT a full distinct shuffle: a pair appears
+    * in at most 4 tables, and its duplicates carry IDENTICAL (dot, vec_a,
+    * vec_b) sort keys, so the 20th distinct pair's first copy sits at
+    * position ≤ 4·19 + 1 = 77 of the totally-ordered pre-distinct stream —
+    * the top-80 rows (a per-partition TakeOrderedAndProject, no shuffle of
+    * the 250·n candidate stream) always contain the top-20 distinct pairs;
+    * distinct then runs over 80 rows. Measured sf3: 3.6 → 1.3 s warm.
+    */
+  private def top20DistinctPairs(scored: DataFrame): DataFrame =
+    scored
+      .orderBy(col("dot").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(80)
+      .distinct()
       .orderBy(col("dot").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(20)
-  }
+
+  def knnLshBucketed(spark: SparkSession, sf: String): DataFrame =
+    // dot computed in the bucket join (lshScoredPairs); see
+    // top20DistinctPairs for why no full distinct shuffle is needed
+    top20DistinctPairs(
+      lshScoredPairs(spark, sf)
+        .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("dot")))
 
   val knnLshBucketedSql: String = {
     s"""WITH cand AS (
@@ -407,6 +465,58 @@ object Vectors {
        |JOIN embeddings a ON a.vec_id = cand.vec_a
        |JOIN embeddings b ON b.vec_id = cand.vec_b
        |ORDER BY dot DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin
+  }
+
+  // ------------------------------------- LSH persisted-index probe regime
+  /** The persisted-index regime of [[knnLshBucketed]] (VERDICT r8 item 2):
+    * BUILD writes the exploded bucket table — (vec_id, embedding, norm, t,
+    * bkt), the exact artifact [[lshScoredPairs]] self-joins and the one a
+    * 100 TB deployment ships per corpus version — to parquet ONCE per
+    * (sf, source fingerprint); PROBE reads it and runs only the bucket
+    * self-join + exact re-rank. Bucketing is deterministic (sign bits +
+    * an in-plan count), so output is identical to knn_lsh_bucketed and it
+    * registers under the SAME oracle. Reuses the IVF index machinery:
+    * source-fingerprinted dir name + staging + atomic rename (a concurrent
+    * builder either wins the rename or finds the winner's complete dir).
+    */
+  def buildLshIndex(spark: SparkSession, sf: String): String = {
+    val dir = lshIndexDir(sf)
+    if (new java.io.File(s"$dir/buckets/_SUCCESS").exists()) return dir
+    val staging = java.nio.file.Paths.get(
+      s"$dir.tmp.${java.lang.ProcessHandle.current().pid()}")
+    lshBucketTable(spark, sf).write.mode("overwrite").parquet(s"$staging/buckets")
+    try
+      java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // same ENOTEMPTY-as-FileSystemException handling as buildIvfIndex
+      case e: java.nio.file.FileSystemException =>
+        if (!new java.io.File(s"$dir/buckets/_SUCCESS").exists()) throw e
+        java.nio.file.Files.walk(staging)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+    }
+    dir
+  }
+
+  /** v1: round-9 bucket-table format (vec_id, embedding, norm, t, bkt). */
+  private def lshIndexDir(sf: String): String = {
+    val tag = sf.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_lsh_v1/${tag}_${ivfSourceFingerprint(sf)}"
+  }
+
+  def knnLshProbe(spark: SparkSession, sf: String): DataFrame = {
+    val dir = lshIndexDir(sf)
+    val marker = new java.io.File(s"$dir/buckets/_SUCCESS")
+    val resolved = if (marker.exists()) dir else buildLshIndex(spark, sf)
+    val tb = spark.read.parquet(s"$resolved/buckets")
+    top20DistinctPairs(
+      tb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("t"), col("bkt"))
+        .join(
+          tb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("t"), col("bkt")),
+          Seq("t", "bkt"))
+        .where(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("dot")))
   }
 
   // ---------------------------------------------------------------- §2.D9/I9
@@ -1199,6 +1309,8 @@ object Vectors {
     ("dedup_embedding_cosine", dedupEmbeddingCosine _, dedupEmbeddingCosineSql),
     ("dedup_embedding_lsh", dedupEmbeddingLsh _, dedupEmbeddingLshSql),
     ("knn_lsh_bucketed", knnLshBucketed _, knnLshBucketedSql),
+    // identical deterministic output by construction — same oracle
+    ("knn_lsh_probe", knnLshProbe _, knnLshBucketedSql),
     ("agg_vector_centroid", aggVectorCentroid _, aggVectorCentroidSql),
     ("ann_ivf", annIvf _, annIvfSql),
     // identical deterministic output by construction — same oracle
