@@ -112,6 +112,14 @@ object GraftExtensions {
       // misleading WRONG_NUM_ARGS arity error).
       case Seq(s, n) if n.foldable =>
         n.eval() match {
+          // SQL decimal literals (`8.0` is DECIMAL(2,1), whose eval is
+          // types.Decimal — NOT a java.lang.Number) are accepted when
+          // integral, consistent with the integral-DOUBLE case below
+          // (ADVICE r8: `8.0D` worked but `8.0` did not).
+          case d: org.apache.spark.sql.types.Decimal
+              if d.toBigDecimal.isWhole && d.toBigDecimal >= 1 &&
+                d.toBigDecimal <= Int.MaxValue =>
+            MinGramMd5(s, d.toBigDecimal.toIntExact)
           case num: java.lang.Number
               if num.longValue().toDouble == num.doubleValue() &&
                 num.longValue() >= 1L && num.longValue() <= Int.MaxValue.toLong =>

@@ -113,13 +113,18 @@ object Vectors {
     */
   def knnQuantized(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norm = 0 (all-zero embedding) quantizes to all-zero q explicitly —
+    // unguarded, x/0 yields NaN whose CAST diverges across engines
+    // (Spark non-ANSI → 0, DuckDB → error). Mirrored in the oracle and in
+    // embeddingQuantize (ADVICE r8). Fixtures contain no zero vectors, so
+    // current hashes are unchanged.
     val q8 = Det.spreadSmallScan(spark, Tables.embeddings(spark, sf))
       .withColumn(
         "norm",
         sqrt(expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
       .select(
         col("vec_id"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS BIGINT))")
+        expr("transform(embedding, x -> IF(norm = 0D, 0L, CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS BIGINT)))")
           .as("q"))
     val queries = q8.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("q").as("qq"))
@@ -138,7 +143,8 @@ object Vectors {
   val knnQuantizedSql: String =
     """WITH q8 AS (
       |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS BIGINT)) AS q
+      |    list_transform(embedding, x -> CASE WHEN norm = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS BIGINT) END) AS q
       |  FROM (
       |    SELECT vec_id, embedding,
       |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -808,12 +814,21 @@ object Vectors {
       .crossJoin(broadcast(params.select(col("g"))))
       .where(col("r") <= col("g"))
       .select(col("cell").as("sc"), col("cvec").as("svec"))
-    // each cell under its nearest super (k×g dots — model-state-sized)
+    // each cell under its nearest super (k×g dots — model-state-sized).
+    // A super's OWN cell is pinned to itself (the leading `self` rank
+    // key): under inner product a cell does not necessarily win its own
+    // argmax, so without the pin a super could own zero cells and a
+    // vector whose top-2 supers were both empty would get no candidate
+    // cells at all — silently dropped from the inverted file (ADVICE r8).
+    // With the pin every super owns ≥ 1 cell, so every routed vector has
+    // ≥ 1 candidate. Mirrored in the oracle ([[csupCte]]).
     val csup = cells
       .crossJoin(broadcast(sup))
       .select(col("cell"), col("cvec"), col("sc"), dot(col("cvec"), col("svec")).as("cs_dot"))
       .groupBy(col("cell"))
-      .agg(max_by(col("sc"), struct(col("cs_dot"), (-col("sc")).as("ns"))).as("sc"))
+      .agg(max_by(col("sc"), struct(
+        (col("cell") === col("sc")).cast("int").as("self"),
+        col("cs_dot"), (-col("sc")).as("ns"))).as("sc"))
       .join(cells.select(col("cell"), col("cvec")), "cell")
     // each vector's top-2 supers (n·g dots, collapsed map-side)
     val vsup = emb
@@ -924,11 +939,11 @@ object Vectors {
     */
   private def ivfIndexDir(sf: String): String = {
     val tag = sf.replaceAll("[^A-Za-z0-9.]+", "_")
-    // v4: round-8 recipe — train-on-sample Lloyd iterations (m lowest
-    // vec_ids) + two-level super-cell routed assignment. Older indexes
-    // (full-corpus training, flat n·k assignment) would serve different
-    // (stale) centroids/assignments.
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_v4/${tag}_${ivfSourceFingerprint(sf)}"
+    // v5: round-9 recipe — v4 (train-on-sample Lloyd + two-level routed
+    // assignment) plus the self-pinned cell→super mapping (ADVICE r8: no
+    // empty supers). Older indexes would serve assignments computed under
+    // the unpinned routing.
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_v5/${tag}_${ivfSourceFingerprint(sf)}"
   }
 
   private def ivfSourceFingerprint(sf: String): String = {
@@ -965,11 +980,15 @@ object Vectors {
        |    SELECT cell, cvec, row_number() OVER (ORDER BY cell) AS r FROM $cellsRel), ($ivfKSql) p
        |  WHERE r <= p.g""".stripMargin
 
-  /** Each cell under its nearest super (cvec carried along). */
+  /** Each cell under its nearest super (cvec carried along); a super's own
+    * cell pins to itself — the leading CASE rank key, mirroring
+    * [[scoredCells]]'s `self` field (ADVICE r8: guarantees no empty super).
+    */
   private def csupCte(cellsRel: String, supRel: String): String =
     s"""SELECT cell, cvec, sc FROM (
        |    SELECT c.cell, c.cvec, s.sc,
        |      row_number() OVER (PARTITION BY c.cell ORDER BY
+       |        (CASE WHEN c.cell = s.sc THEN 1 ELSE 0 END) DESC,
        |        ${cellDot("c.cvec", "s.svec")} DESC, s.sc ASC) AS rc
        |    FROM $cellsRel c CROSS JOIN $supRel s)
        |  WHERE rc = 1""".stripMargin
@@ -1182,8 +1201,9 @@ object Vectors {
         // serializes every array column to a string (same discipline as
         // agg_collect_sorted / array_setops) — int→string is exact in
         // both engines
+        // norm = 0 → all-zero qvec (same guard as knnQuantized; ADVICE r8)
         concat_ws(",",
-          expr("transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS INT) AS STRING))"))
+          expr("transform(embedding, x -> IF(norm = 0D, '0', CAST(CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS INT) AS STRING)))"))
           .as("qvec"))
       .orderBy(col("vec_id"))
 
@@ -1197,7 +1217,8 @@ object Vectors {
       |)
       |SELECT vec_id, norm,
       |  array_to_string(list_transform(embedding,
-      |    x -> CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS INT)), ',') AS qvec
+      |    x -> CASE WHEN norm = 0 THEN CAST(0 AS INT)
+      |      ELSE CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS INT) END), ',') AS qvec
       |FROM n ORDER BY vec_id""".stripMargin
 
   // -------------------------------------------------------- cluster topics

@@ -186,4 +186,29 @@ class RegistryLintSpec extends AnyFunSuite {
     assert(viaSql.collect().map(_.getString(0)).sorted
       === viaCol.collect().map(_.getString(0)).sorted)
   }
+
+  // ADVICE r8: the INVALID_PARAMETER_VALUE.PATTERN path itself had no
+  // test — if its messageParameters keys ever drift from Spark's
+  // error-class definition, the THROW fails with an internal
+  // SparkException instead of the intended analysis error. This pins the
+  // error class for each rejection shape, and the Decimal-literal accept.
+  test("min_gram_md5 bad-n shapes raise INVALID_PARAMETER_VALUE; decimal literals accepted") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, Sf0001).limit(5).createOrReplaceTempView("mgm_err_t")
+    def analysisError(sql: String): org.apache.spark.sql.AnalysisException =
+      intercept[org.apache.spark.sql.AnalysisException] { spark.sql(sql).collect() }
+    for (bad <- Seq("0", "-3", "'x'", "8.5", "length(text)", "NULL")) {
+      val e = analysisError(s"SELECT min_gram_md5(text, $bad) FROM mgm_err_t")
+      assert(e.getCondition === "INVALID_PARAMETER_VALUE.PATTERN", s"for n = $bad")
+      assert(e.getMessage.contains("min_gram_md5"), s"for n = $bad")
+    }
+    // SQL `8.0` is DECIMAL(2,1) — integral, so it now means gram size 8
+    val viaDec = spark
+      .sql("SELECT min_gram_md5(text, 8.0) AS f FROM mgm_err_t WHERE length(text) >= 8")
+      .collect().map(_.getString(0)).sorted
+    val viaInt = spark
+      .sql("SELECT min_gram_md5(text, 8) AS f FROM mgm_err_t WHERE length(text) >= 8")
+      .collect().map(_.getString(0)).sorted
+    assert(viaDec === viaInt && viaDec.nonEmpty)
+  }
 }
