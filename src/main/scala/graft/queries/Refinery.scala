@@ -65,9 +65,14 @@ object Refinery {
     * A fully-boilerplate document rebuilds to the empty string (md5 of
     * ""), which downstream length filters then drop.
     */
-  def lineDedupRebuild(spark: SparkSession, sf: String): DataFrame = {
-    val lines = Det
-      .spreadSmallScan(spark, Tables.documents(spark, sf))
+  /** (doc_id, line_id, line_text) segmentation of a documents frame into
+    * consecutive 8-token lines — the shared front half of
+    * [[lineDedupRebuild]] and the streaming line-df twin
+    * ([[graft.streaming.StreamOps.lineBoilerMaintain]]), extracted so the
+    * two can never segment differently.
+    */
+  private[graft] def docLines(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokensCol.as("t"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, int(ceil(size(t) / 8.0))), " +
@@ -75,6 +80,9 @@ object Refinery {
           "array_join(slice(t, (i - 1) * 8 + 1, 8), ' ') AS line_text))"))
         .as("l"))
       .select(col("doc_id"), col("l.line_id"), col("l.line_text"))
+
+  def lineDedupRebuild(spark: SparkSession, sf: String): DataFrame = {
+    val lines = docLines(Det.spreadSmallScan(spark, Tables.documents(spark, sf)))
     val boiler = lines
       .groupBy(col("line_text"))
       .agg(countDistinct(col("doc_id")).as("df"))

@@ -207,6 +207,63 @@ object StreamOps {
       .where(col("prev_type").isNotNull && col("prev_type") =!= col("new_type"))
   }
 
+  // --------------------------------------- §2.L′ streaming line-df twin
+  /** Per-line state for [[lineBoilerMaintain]]: the first document that
+    * contained the line (−1 = none yet) and whether the line has already
+    * crossed the boilerplate threshold (emitted exactly once).
+    */
+  case class LineDf(firstDoc: Long, boiler: Boolean)
+
+  /** Incremental line-df maintenance — the streaming twin of the batch
+    * `line_dedup_rebuild` operator's boilerplate detection (VERDICT r8
+    * item 7: the one §2.L family without an incremental form). Documents
+    * stream in; each is segmented into the SAME 8-token lines as the
+    * batch operator ([[graft.queries.Refinery.docLines]] — shared code,
+    * so the two can never segment differently), and a line is emitted the
+    * moment a SECOND distinct document contains it — the df ≥ 2
+    * boilerplate condition, maintained incrementally. The emitted set
+    * after any prefix of the stream equals the batch operator's
+    * `boiler` set over the same documents (StreamingSpec pins equality,
+    * including lines whose two documents arrive in different
+    * micro-batches), and each line is emitted EXACTLY once.
+    *
+    * State is O(1) per distinct line (two fields — no document list: the
+    * df ≥ 2 threshold only needs the first doc's identity and a saturated
+    * flag), keyed and parallel over line_text. A production deployment
+    * whose line space is unbounded adds a state TTL (boilerplate within a
+    * horizon) or the [[bloomDedup]] sharded-sketch pattern; NoTimeout here
+    * matches the batch twin's cumulative-corpus semantics. Works on batch
+    * frames too (flatMapGroupsWithState runs with empty state), which IS
+    * the batch twin used in the spec.
+    *
+    * The rebuild half of line_dedup_rebuild stays batch: a line turning
+    * boilerplate RETROACTIVELY edits already-emitted documents, so the
+    * streaming stage's job is to maintain the boilerplate list (this
+    * operator — the sink a periodic rebuild job joins against), not to
+    * re-emit rebuilt documents.
+    */
+  def lineBoilerMaintain(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    graft.queries.Refinery.docLines(docs)
+      .select(col("line_text"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LineDf, String](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (line: String, rows: Iterator[(String, Long)], state: GroupState[LineDf]) =>
+          var st = state.getOption.getOrElse(LineDf(-1L, boiler = false))
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          rows.foreach { case (_, doc) =>
+            if (!st.boiler) {
+              if (st.firstDoc == -1L) st = LineDf(doc, boiler = false)
+              else if (st.firstDoc != doc) { st = LineDf(st.firstDoc, boiler = true); out += line }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("line_text")
+  }
+
   // ------------------------------------------- §2.J5′ bloom-state dedup
   /** Streaming dedup with BOUNDED state for an UNBOUNDED key space — the
     * production pattern when `dropDuplicates` can't hold every key:

@@ -364,4 +364,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.get("2024-01-01 10:00:00.0") === Some(1L),
       s"10:00 window should hold only the on-time event, got $out")
   }
+
+  test("L' line-df maintenance: streaming boilerplate set == batch df>=2 set, emitted once") {
+    // documents sf0.001 as a 3-file parquet dir; maxFilesPerTrigger=1
+    // forces 3 micro-batches, so lines whose two documents land in
+    // DIFFERENT batches exercise the cross-batch state path.
+    val docsDir = Files.createTempDirectory("graft-stream-lines").toString
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    docs.repartition(3).write.mode("overwrite").parquet(docsDir)
+    val staged = spark.read.parquet(docsDir)
+    val src = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    val got = runStream(StreamOps.lineBoilerMaintain(src), "append", "lbm")
+    // independent batch formulation: lines with >= 2 distinct documents
+    val want = graft.queries.Refinery.docLines(staged)
+      .groupBy(col("line_text"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2)
+      .select(col("line_text"))
+    assert(want.count() > 0, "fixture must contain boilerplate lines")
+    assert(sortedRows(got) === sortedRows(want))
+    // exactly-once emission: no line appears twice across micro-batches
+    assert(got.count() === got.distinct().count())
+    // the same function doubles as its own batch twin
+    assert(sortedRows(StreamOps.lineBoilerMaintain(staged)) === sortedRows(want))
+  }
 }
