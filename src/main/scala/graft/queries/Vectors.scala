@@ -372,8 +372,10 @@ object Vectors {
     * private[graft] so tools/LshOccupancy measures the shipped scheme
     * itself, never a re-derivation that could drift from it.
     */
-  private[graft] def lshBucketTable(spark: SparkSession, sf: String): DataFrame = {
-    val e = Tables.embeddings(spark, sf)
+  private[graft] def lshBucketTable(spark: SparkSession, sf: String): DataFrame =
+    lshBucketTableOf(Tables.embeddings(spark, sf))
+
+  private[graft] def lshBucketTableOf(e: DataFrame): DataFrame = {
     // 1-row aggregate, broadcast onto every row: the same adaptive-bits
     // formula the SQL twin computes (see lshNbSql).
     val params = e.agg(
@@ -395,6 +397,64 @@ object Vectors {
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
         explode(buckets).as("b"))
       .select(col("vec_id"), col("embedding"), col("norm"), col("b.t").as("t"), col("b.bkt").as("bkt"))
+  }
+
+  /** The SKEW-DEFENSE bucket variant: equal-MASS bins computed from the
+    * sign-integer histogram instead of equal-WIDTH radix bins.
+    *
+    * The registered queries use [[lshBucketTableOf]]'s equal-width bins
+    * because the fixture sign integers are measured-uniform
+    * (docs/LSH_OCCUPANCY.md: i.i.d. unit gaussians ⇒ i.i.d. fair sign
+    * bits) and equal-width costs no histogram pass. A REAL corpus is
+    * biased — per-dimension sign probabilities far from ½ concentrate the
+    * sign-integer distribution, and equal-width bins then inherit the
+    * density (occupancy ∝ local mass; SkewSpec constructs a biased corpus
+    * where the hottest bin carries > 3× target). This variant bins by
+    * CUMULATIVE mass: per table, the (s → count) histogram (≤ 2¹⁶ rows —
+    * model-state-sized), a running sum over it, and
+    * bucket(s) = ⌊cum_before(s)·nb/n⌋ — contiguous sign-prefix ranges
+    * exactly like the radix form (same locality argument), but every
+    * bucket holds ≈ n/nb rows REGARDLESS of the distribution; only a
+    * single sign-integer hotter than the target can exceed it (those
+    * vectors agree on every one of the slice's 16 signs — at that point
+    * they are candidates one genuinely wants compared). The histogram
+    * pass is one extra bounded aggregate + a broadcast join; at 100 TB
+    * both are dwarfed by the pair join they protect. Output schema is
+    * identical, so it drops into [[lshScoredPairs]]'s self-join
+    * unchanged. Covered by SkewSpec (occupancy restored on the biased
+    * corpus; identical candidate semantics on uniform data).
+    */
+  private[graft] def lshBucketTableEqualMass(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val params = e.agg(
+      least(lit(65536), greatest(lit(16), ceil(count(lit(1)) / LshTargetOccupancy)))
+        .cast("long").as("nb"),
+      count(lit(1)).as("n"))
+    def signInt(t: Int) = aggregate(
+      transform(
+        sequence(lit(16 * t + 1), lit(16 * t + 16)),
+        i => when(element_at(col("embedding"), i) > 0f, 1L).otherwise(0L)),
+      lit(0L),
+      (acc, b) => acc * 2 + b)
+    val sints = array((0 until 4).map(t => struct(lit(t).as("t"), signInt(t).as("s"))): _*)
+    val vs = e
+      .select(
+        col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+        explode(sints).as("b"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("b.t").as("t"), col("b.s").as("s"))
+    // (t, s) histogram — ≤ 4·2¹⁶ rows by construction — then the running
+    // mass BEFORE each s (4 bounded window partitions, one per table)
+    val wT = Window.partitionBy(col("t")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = vs
+      .groupBy(col("t"), col("s")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wT), lit(0L)))
+      .crossJoin(broadcast(params))
+      .select(col("t"), col("s"),
+        floor(col("cum_before") * col("nb") / col("n")).cast("long").as("bkt"))
+    vs.join(broadcast(binned), Seq("t", "s"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("t"), col("bkt"))
   }
 
   /** Candidate pairs (vec_a < vec_b, sharing a bucket in ANY of the 4 LSH

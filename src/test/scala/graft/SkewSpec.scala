@@ -122,4 +122,54 @@ class SkewSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a === b)
   }
+
+  // ------------------------- LSH equal-mass bucket skew defense (round 9)
+
+  /** A deterministic BIASED corpus: per-dimension sign probability
+    * Φ(0.7) ≈ 0.76 (bias +0.7 against unit noise), so the 16-bit sign
+    * integers
+    * concentrate around the bias pattern and equal-WIDTH radix bins
+    * inherit the density — the real-corpus failure mode the fixture data
+    * (i.i.d. fair sign bits, docs/LSH_OCCUPANCY.md) cannot exhibit.
+    * Hash-based like tools/DataGen: pure function of (vec_id, dim), no
+    * rand(), bit-identical at any parallelism.
+    */
+  private def biasedEmbeddings(n: Int) = {
+    val P = 1000000007L
+    spark.range(n).selectExpr(
+      "id AS vec_id",
+      s"""transform(sequence(0, 63), j -> CAST(
+         |  0.7 + sqrt(-2.0 * ln((pmod(xxhash64('b_u1', id, j), ${P}L) + 1) / ${P + 1}.0))
+         |      * cos(2.0 * pi() * ((pmod(xxhash64('b_u2', id, j), ${P}L) + 1) / ${P + 1}.0))
+         |  AS FLOAT))""".stripMargin + " AS embedding")
+  }
+
+  private def maxOcc(tb: org.apache.spark.sql.DataFrame): Long =
+    tb.groupBy(col("t"), col("bkt")).count()
+      .agg(max(col("count"))).head().getLong(0)
+
+  test("equal-width LSH bins skew on a biased corpus; equal-mass bins restore the target") {
+    val emb = biasedEmbeddings(2000).cache()
+    try {
+      val target = 125L // LshTargetOccupancy; nb floors at 16 for n=2000
+      val width = maxOcc(graft.queries.Vectors.lshBucketTableOf(emb))
+      val mass = maxOcc(graft.queries.Vectors.lshBucketTableEqualMass(emb))
+      // the failure mode is real: the hottest equal-width bin carries the
+      // modal sign-prefix mass (≈ 0.73^4 ≈ 28% of the corpus)
+      assert(width > 3 * target, s"biased corpus did not skew equal-width bins (max=$width)")
+      // ... and the histogram binning flattens it back to ≈ target
+      assert(mass <= 2 * target, s"equal-mass bins still skewed (max=$mass)")
+    } finally emb.unpersist()
+  }
+
+  test("equal-mass LSH bins match equal-width occupancy on uniform data (no regression)") {
+    // the fixture embeddings ARE uniform-sign (LSH_OCCUPANCY) — both
+    // binnings should sit at the pinned occupancy there
+    val emb = Tables.embeddings(spark, Sf001).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val width = maxOcc(graft.queries.Vectors.lshBucketTableOf(emb))
+      val mass = maxOcc(graft.queries.Vectors.lshBucketTableEqualMass(emb))
+      assert(width <= 2 * 125 && mass <= 2 * 125, s"width=$width mass=$mass")
+    } finally emb.unpersist()
+  }
 }
