@@ -213,7 +213,11 @@ object Bench {
       .map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = round3(timed.values.sum)
-    val head = headline.flatMap(k => timed.get(k).map(k -> _))
+    // A dev-only SPARK_GRAFT_ONLY run prints every timed query (the subset
+    // is small by construction and the full bench_out.json is NOT written
+    // for filtered runs — without this, non-headline per-query timings of
+    // a probe run would be recorded nowhere).
+    val head = only.fold(headline.flatMap(k => timed.get(k).map(k -> _)))(_ => timed.toSeq)
     val headTotal = round3(head.map(_._2).sum)
     // Short line for the driver's 2000-char tail capture: headline queries
     // + totals; `value` stays the full-suite total (the BASELINE.json

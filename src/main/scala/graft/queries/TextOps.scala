@@ -221,6 +221,40 @@ object TextOps {
   def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame =
     minhashCandidatePairs(spark, sf).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Per-ROW MinHash band hashes — the SAME signature math as
+    * [[minhashCandidatePairs]] but computed entirely inside one projection
+    * (higher-order functions over the shingle array), no groupBy: `min()`
+    * over exploded shingle rows and `array_min` over the shingle array are
+    * both the lexicographic minimum of the identical md5-hex set, so the
+    * two formulations are value-identical (pinned in StreamingSpec by
+    * comparing the candidate-pair sets end to end).
+    *
+    * The batch operator keeps its aggregate form — at bench scale the
+    * partial-aggregate plan spreads the 8-hashes-per-shingle work across
+    * cores — but ONLY this shuffle-free form can run on an unbounded
+    * stream (a streaming groupBy would hold per-doc state forever for a
+    * one-shot signature). Input needs (doc_id, text); emits one row per
+    * (doc, band): (doc_id, band, band_hash). Docs with < 3 tokens have no
+    * shingles and are dropped, exactly as in the batch plan.
+    */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+    val shingles = expr(
+      "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))")
+    val minhashes = (0 until 8).map(i =>
+      array_min(expr(s"transform(shs, s -> md5(cast(concat(s, '#$i') as binary)))")).as(s"m$i"))
+    val bandArr = array((0 until 4).map(bnd =>
+      struct(
+        lit(bnd).as("band"),
+        md5(concat(col(s"m${2 * bnd}"), col(s"m${2 * bnd + 1}")).cast("binary")).as("h"))): _*)
+    docs
+      .select(col("doc_id"), tokensCol.as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), shingles.as("shs"))
+      .select(col("doc_id") +: minhashes: _*)
+      .select(col("doc_id"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.h").as("band_hash"))
+  }
+
   // ------------------------------------- north star: edit-distance dedup
   /** Fuzzy (edit-distance) dedup — the character-level member of the dedup
     * family: MinHash-LSH candidate pairs confirmed by exact Levenshtein

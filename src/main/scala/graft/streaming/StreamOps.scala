@@ -264,6 +264,62 @@ object StreamOps {
       .toDF("line_text")
   }
 
+  // ------------------------------------- §2.L′ streaming MinHash-LSH twin
+  /** Incremental MinHash-LSH near-duplicate detection — the streaming twin
+    * of the batch `dedup_minhash_lsh` operator (the last dedup-family
+    * member without an incremental form; exact and Bloom-screened dedup
+    * got theirs in rounds 6–8). Documents stream in; each computes its 4
+    * LSH band hashes per row via [[graft.queries.TextOps.minhashBands]]
+    * (the SAME md5 signature math as the batch operator, restated as a
+    * shuffle-free projection — a streaming groupBy would hold per-doc
+    * aggregate state forever for a one-shot signature), and state lives
+    * per (band, band_hash) BUCKET: the doc ids seen in that bucket, capped
+    * at `bucketCap`. A new arrival emits one candidate row per stored
+    * neighbour — so after any stream prefix the emitted (doc_a, doc_b,
+    * band) set equals the batch band self-join over the same documents
+    * (StreamingSpec pins set equality, including pairs whose two docs
+    * arrive in different micro-batches), each collision emitted exactly
+    * once.
+    *
+    * Scale posture: state is O(min(bucket size, bucketCap)) longs per
+    * DISTINCT band hash — the same ≈ uniform-bucket assumption the batch
+    * plan's equi-join already rests on. The cap is the skew defense a
+    * boilerplate-heavy real corpus needs (one viral paragraph = one hot
+    * bucket): past `bucketCap` docs, a bucket stores no more members, so
+    * a hot bucket emits ≤ cap·(arrivals) pairs instead of arrivals² —
+    * bounded state AND bounded output, at the documented cost that
+    * pairs BOTH of whose docs arrive after the cap are missed (the df-cap
+    * trade `dedup_ngram_jaccard` makes batch-side). Production horizons
+    * add a state TTL; NoTimeout here matches the batch twin's
+    * cumulative-corpus semantics.
+    */
+  def minhashDedupStream(docs: DataFrame, bucketCap: Int = 64): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    graft.queries.TextOps
+      .minhashBands(docs)
+      .select(col("band"), col("band_hash"), col("doc_id"))
+      .as[(Int, String, Long)]
+      .groupByKey { case (band, h, _) => (band, h) }
+      .flatMapGroupsWithState[Array[Long], (Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[(Int, String, Long)], state: GroupState[Array[Long]]) =>
+          var members = state.getOption.getOrElse(Array.empty[Long])
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
+          rows.foreach { case (band, _, doc) =>
+            members.foreach { other =>
+              if (other != doc)
+                out += ((math.min(other, doc), math.max(other, doc), band))
+            }
+            if (members.length < bucketCap && !members.contains(doc))
+              members = members :+ doc
+          }
+          state.update(members)
+          out.iterator
+      }
+      .toDF("doc_a", "doc_b", "band")
+  }
+
   // ------------------------------------------- §2.J5′ bloom-state dedup
   /** Streaming dedup with BOUNDED state for an UNBOUNDED key space — the
     * production pattern when `dropDuplicates` can't hold every key:

@@ -389,4 +389,50 @@ class StreamingSpec extends AnyFunSuite {
     // the same function doubles as its own batch twin
     assert(sortedRows(StreamOps.lineBoilerMaintain(staged)) === sortedRows(want))
   }
+
+  test("L' streaming MinHash-LSH: candidate pairs == batch, across micro-batches") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps
+      .minhashDedupStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("mhstream").start()
+    try {
+      // 3 micro-batches of ~170 docs in doc_id order: duplicate pairs whose
+      // two docs land in different batches exercise the cross-batch state.
+      docs.grouped(170).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("mhstream")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val want = graft.queries.TextOps.dedupMinhashLsh(spark, Sf0001)
+    assert(want.count() > 0, "fixture must contain near-duplicate candidates")
+    assert(sortedRows(got) === sortedRows(want))
+    // the equality above is only a cross-batch proof if at least one pair
+    // actually straddles a micro-batch boundary (batch index = doc_id/170)
+    val pairs = want.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    assert(pairs.exists { case (a, b) => a / 170 != b / 170 },
+      "chunking must split at least one candidate pair across micro-batches")
+  }
+
+  test("L' streaming MinHash-LSH: bucket cap bounds a hot bucket's state and output") {
+    // 6 identical docs collide in the same bucket in all 4 bands. With
+    // bucketCap=2 the bucket stores docs 1,2 only; every later arrival
+    // emits exactly 2 pairs per band: (1+2+2+2+2)x4 = 36 rows, vs the
+    // uncapped C(6,2)x4 = 60 — bounded output, no arrivals^2 blowup.
+    val hot = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps
+      .minhashDedupStream(input.toDF().toDF("doc_id", "text"), bucketCap = 2)
+      .writeStream.outputMode("append").format("memory").queryName("mhcap").start()
+    try {
+      input.addData(hot)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("mhcap").count() === 36L)
+  }
 }
