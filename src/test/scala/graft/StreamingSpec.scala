@@ -419,6 +419,42 @@ class StreamingSpec extends AnyFunSuite {
       "chunking must split at least one candidate pair across micro-batches")
   }
 
+  test("L' streaming MinHash-LSH: bucket state survives a checkpointed restart") {
+    // The production recovery property: a near-duplicate whose first copy
+    // arrived BEFORE a query restart is still caught when the second copy
+    // arrives AFTER it — i.e. the (band, band_hash) bucket membership is
+    // restored from the checkpointed state store, not rebuilt from the
+    // (gone) earlier micro-batches. foreachBatch sink because the memory
+    // sink does not participate in checkpoint recovery.
+    val ckdir = Files.createTempDirectory("graft-ckpt-mh").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val sinkRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    def startQ() = StreamOps
+      .minhashDedupStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckdir)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        sinkRows.synchronized { sinkRows ++= rows }
+        ()
+      }
+      .start()
+    val dupText = "alpha beta gamma delta epsilon zeta"
+    val q1 = startQ()
+    try {
+      input.addData(Seq((1L, dupText), (10L, "one two three four five six")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    input.addData(Seq((2L, dupText)))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val pairs = sinkRows.synchronized(sinkRows.toList)
+    assert(pairs.count { case (a, b, _) => a == 1L && b == 2L } === 4,
+      s"identical docs must collide in all 4 bands across the restart, got $pairs")
+    assert(!pairs.exists { case (a, b, _) => a == 10L || b == 10L },
+      "the unrelated doc must pair with nothing")
+  }
+
   test("L' streaming MinHash-LSH: bucket cap bounds a hot bucket's state and output") {
     // 6 identical docs collide in the same bucket in all 4 bands. With
     // bucketCap=2 the bucket stores docs 1,2 only; every later arrival
