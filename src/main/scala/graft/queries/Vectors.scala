@@ -259,14 +259,21 @@ object Vectors {
     * cosine) row is also a true ≥-threshold pair of the exact operator
     * (ExtrasSpec pins that subset property plus a recall floor).
     */
-  def dedupEmbeddingLsh(spark: SparkSession, sf: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def dedupEmbeddingLsh(spark: SparkSession, sf: String): DataFrame =
     // cosine computed IN the bucket join's projection (see lshScoredPairs);
     // the ≥-threshold filter runs BEFORE the distinct, so the only full
     // shuffle of this query carries the few true near-dup pairs, not the
     // 250·n candidate stream. A pair colliding in several tables yields
     // bit-identical cosines (same fold, same inputs), so distinct is exact.
-    lshScoredPairs(spark, sf)
+    lshDedupPost(lshScoredPairs(spark, sf))
+
+  /** Shared scored-pairs → (dup, canonical, cosine) tail of both embedding
+    * LSH dedup queries: exact cosine, ≥ 0.4 filter BEFORE the one narrow
+    * distinct, keep-lowest-id canonical per duplicate.
+    */
+  private def lshDedupPost(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored
       .select(
         col("vec_a"),
         col("vec_b"),
@@ -280,6 +287,58 @@ object Vectors {
       .select(col("vec_b").as("dup_id"), col("vec_a").as("canonical_id"), col("cosine"))
       .orderBy(col("dup_id"))
   }
+
+  /** The REGISTERED skew-defense twin: [[dedupEmbeddingLsh]]'s exact tail
+    * over [[lshBucketTableEqualMass]]'s histogram-binned buckets. On the
+    * (measured-uniform) fixture data the two bucketings produce the same
+    * near-dup verdicts through different candidate sets; on a biased
+    * corpus this is the plan that keeps occupancy — and therefore pair
+    * work — pinned at the target (SkewSpec's biased-corpus measurement).
+    * The oracle mirrors the histogram/cumulative-mass arithmetic exactly,
+    * so the query is hash-checked end to end like its radix sibling.
+    */
+  def dedupEmbeddingLshEqualMass(spark: SparkSession, sf: String): DataFrame =
+    lshDedupPost(lshScoredPairsOf(lshBucketTableEqualMass(Tables.embeddings(spark, sf))))
+
+  val dedupEmbeddingLshEqualMassSql: String =
+    s"""WITH p AS (
+       |  SELECT LEAST(65536, GREATEST(16, CAST(CEIL(COUNT(*) / $LshTargetOccupancy) AS INT))) AS nb,
+       |    COUNT(*) AS n
+       |  FROM embeddings
+       |), vs AS (
+       |  SELECT vec_id, tt.t AS t,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(16 * tt.t + 1, 16 * tt.t + 17),
+       |        i -> CAST(CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END AS BIGINT))),
+       |      (acc, b) -> acc * 2 + b) AS s
+       |  FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS t) tt
+       |), binned AS (
+       |  SELECT h.t, h.s,
+       |    CAST(FLOOR(COALESCE(SUM(h.c) OVER (
+       |      PARTITION BY h.t ORDER BY h.s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * p.nb / p.n) AS BIGINT) AS bkt
+       |  FROM (SELECT t, s, COUNT(*) AS c FROM vs GROUP BY t, s) h, p
+       |), bt AS (
+       |  SELECT vs.vec_id, vs.t, binned.bkt FROM vs JOIN binned USING (t, s)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bt a JOIN bt b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |), e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT cand.vec_a, cand.vec_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
+       |  FROM cand
+       |  JOIN e a ON a.vec_id = cand.vec_a
+       |  JOIN e b ON b.vec_id = cand.vec_b
+       |)
+       |SELECT vec_b AS dup_id, vec_a AS canonical_id, cosine FROM (
+       |  SELECT vec_a, vec_b, cosine,
+       |    row_number() OVER (PARTITION BY vec_b ORDER BY vec_a ASC) AS rn
+       |  FROM pairs WHERE cosine >= 0.4)
+       |WHERE rn = 1 ORDER BY dup_id""".stripMargin
 
   val dedupEmbeddingLshSql: String =
     s"""WITH cand AS (
@@ -478,8 +537,15 @@ object Vectors {
     * Measured: sf3 dedup_embedding_lsh 8.0 → 1.3 s, knn_lsh_bucketed
     * 6.4 → 2.3 s warm (sf1→sf3 exponents 1.52/1.16 → ≤ 1.1).
     */
-  private def lshScoredPairs(spark: SparkSession, sf: String): DataFrame = {
-    val tb = lshBucketTable(spark, sf)
+  private def lshScoredPairs(spark: SparkSession, sf: String): DataFrame =
+    lshScoredPairsOf(lshBucketTable(spark, sf))
+
+  /** The same scored self-join over ANY bucket table with the (vec_id,
+    * embedding, norm, t, bkt) schema — shared by the equal-width radix
+    * queries and the equal-mass skew-defense twin so the pair plan can
+    * never diverge between them.
+    */
+  private def lshScoredPairsOf(tb: DataFrame): DataFrame =
     tb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
         col("norm").as("norm_a"), col("t"), col("bkt"))
       .join(
@@ -487,7 +553,6 @@ object Vectors {
           col("norm").as("norm_b"), col("t"), col("bkt")),
         Seq("t", "bkt"))
       .where(col("vec_a") < col("vec_b"))
-  }
 
   /** Distinct (vec_a < vec_b) candidate pairs — kept for measurement
     * (tools/LshOccupancy's realized-candidate count) and recall specs;
@@ -1389,6 +1454,7 @@ object Vectors {
     ("cosine_topk", cosineTopk _, cosineTopkSql),
     ("dedup_embedding_cosine", dedupEmbeddingCosine _, dedupEmbeddingCosineSql),
     ("dedup_embedding_lsh", dedupEmbeddingLsh _, dedupEmbeddingLshSql),
+    ("dedup_embedding_lsh_eqmass", dedupEmbeddingLshEqualMass _, dedupEmbeddingLshEqualMassSql),
     ("knn_lsh_bucketed", knnLshBucketed _, knnLshBucketedSql),
     // identical deterministic output by construction — same oracle
     ("knn_lsh_probe", knnLshProbe _, knnLshBucketedSql),
