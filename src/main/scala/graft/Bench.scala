@@ -219,6 +219,11 @@ object Bench {
     // a probe run would be recorded nowhere).
     val head = only.fold(headline.flatMap(k => timed.get(k).map(k -> _)))(_ => timed.toSeq)
     val headTotal = round3(head.map(_._2).sum)
+    // The BASELINE.json contract metric name is reserved for the real
+    // 10-query headline sum: a FILTERED run reports its subset sum under
+    // `subset_total` instead, so no consumer can mistake a dev probe's
+    // number for the contract metric.
+    val headKey = if (only.isEmpty) "baseline10_total" else "subset_total"
     // Short line for the driver's 2000-char tail capture: headline queries
     // + totals; `value` stays the full-suite total (the BASELINE.json
     // contract's definition of BENCH).
@@ -233,7 +238,7 @@ object Bench {
       s""""aqe":$aqe,"shuffle":$sh,"broadcast":"$bc""""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"baseline10_total":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"$headKey":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
     if (only.isEmpty) try {

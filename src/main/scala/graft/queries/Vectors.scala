@@ -616,17 +616,7 @@ object Vectors {
     val staging = java.nio.file.Paths.get(
       s"$dir.tmp.${java.lang.ProcessHandle.current().pid()}")
     lshBucketTable(spark, sf).write.mode("overwrite").parquet(s"$staging/buckets")
-    try
-      java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      // same ENOTEMPTY-as-FileSystemException handling as buildIvfIndex
-      case e: java.nio.file.FileSystemException =>
-        if (!new java.io.File(s"$dir/buckets/_SUCCESS").exists()) throw e
-        java.nio.file.Files.walk(staging)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
-    }
+    commitIndexAtomically(staging, dir, "buckets/_SUCCESS")
     dir
   }
 
@@ -1036,22 +1026,33 @@ object Vectors {
     val cells = trainCells(emb, params)
     cells.write.mode("overwrite").parquet(s"$staging/cells")
     assignTop2(emb, cells, params).write.mode("overwrite").parquet(s"$staging/assigned")
+    commitIndexAtomically(staging, dir, "assigned/_SUCCESS")
+    dir
+  }
+
+  /** Atomic-rename `staging` into place as `dir`, shared by the IVF and
+    * LSH index builders: a concurrent JVM building the same
+    * (fingerprinted, hence identical — both recipes are deterministic)
+    * index either wins the rename or finds the winner's complete
+    * directory and discards its own staging copy. Linux rename(2) onto
+    * an existing non-empty dir surfaces as a GENERIC FileSystemException
+    * (ENOTEMPTY), not the typed DirectoryNotEmptyException — catch the
+    * superclass, then verify the winner's `marker` file really exists.
+    */
+  private def commitIndexAtomically(
+      staging: java.nio.file.Path, dir: String, marker: String): Unit = {
     try
       java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      // Linux rename(2) onto an existing non-empty dir surfaces as a
-      // GENERIC FileSystemException (ENOTEMPTY), not the typed
-      // DirectoryNotEmptyException — catch the superclass, then verify.
       case e: java.nio.file.FileSystemException =>
-        if (!new java.io.File(s"$dir/assigned/_SUCCESS").exists()) throw e
-        // another JVM completed the same (fingerprinted, hence identical —
-        // training is deterministic) index first; discard our copy
-        java.nio.file.Files.walk(staging)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
+        if (!new java.io.File(s"$dir/$marker").exists()) throw e
+        val walk = java.nio.file.Files.walk(staging)
+        try
+          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
     }
-    dir
   }
 
   /** Index location: one directory per (scale-factor dir, SOURCE-DATA

@@ -208,11 +208,14 @@ object StreamOps {
   }
 
   // --------------------------------------- §2.L′ streaming line-df twin
-  /** Per-line state for [[lineBoilerMaintain]]: the first document that
-    * contained the line (−1 = none yet) and whether the line has already
-    * crossed the boilerplate threshold (emitted exactly once).
+  /** Per-line state for [[lineBoilerMaintain]]: whether any document has
+    * contained the line yet, which one was first (meaningful only when
+    * `seen`), and whether the line has already crossed the boilerplate
+    * threshold (emitted exactly once). `seen` is an explicit flag — an
+    * in-band sentinel doc id would misclassify a corpus that legitimately
+    * uses that id value.
     */
-  case class LineDf(firstDoc: Long, boiler: Boolean)
+  case class LineDf(seen: Boolean, firstDoc: Long, boiler: Boolean)
 
   /** Incremental line-df maintenance — the streaming twin of the batch
     * `line_dedup_rebuild` operator's boilerplate detection (VERDICT r8
@@ -250,12 +253,12 @@ object StreamOps {
       .groupByKey(_._1)
       .flatMapGroupsWithState[LineDf, String](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (line: String, rows: Iterator[(String, Long)], state: GroupState[LineDf]) =>
-          var st = state.getOption.getOrElse(LineDf(-1L, boiler = false))
+          var st = state.getOption.getOrElse(LineDf(seen = false, 0L, boiler = false))
           val out = scala.collection.mutable.ListBuffer.empty[String]
           rows.foreach { case (_, doc) =>
             if (!st.boiler) {
-              if (st.firstDoc == -1L) st = LineDf(doc, boiler = false)
-              else if (st.firstDoc != doc) { st = LineDf(st.firstDoc, boiler = true); out += line }
+              if (!st.seen) st = LineDf(seen = true, doc, boiler = false)
+              else if (st.firstDoc != doc) { st = st.copy(boiler = true); out += line }
             }
           }
           state.update(st)
@@ -307,12 +310,16 @@ object StreamOps {
           var members = state.getOption.getOrElse(Array.empty[Long])
           val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
           rows.foreach { case (band, _, doc) =>
-            members.foreach { other =>
-              if (other != doc)
+            // a re-delivered doc (source replay) is already a member: emit
+            // nothing again, or the exactly-once collision contract breaks.
+            // (A replay of a PAST-cap arrival is indistinguishable from a
+            // first arrival — the documented cap trade.)
+            if (!members.contains(doc)) {
+              members.foreach { other =>
                 out += ((math.min(other, doc), math.max(other, doc), band))
+              }
+              if (members.length < bucketCap) members = members :+ doc
             }
-            if (members.length < bucketCap && !members.contains(doc))
-              members = members :+ doc
           }
           state.update(members)
           out.iterator

@@ -413,9 +413,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.count() > 0, "fixture must contain near-duplicate candidates")
     assert(sortedRows(got) === sortedRows(want))
     // the equality above is only a cross-batch proof if at least one pair
-    // actually straddles a micro-batch boundary (batch index = doc_id/170)
+    // actually straddles a micro-batch boundary. Batch index comes from
+    // each doc's POSITION in the sorted-then-grouped(170) sequence — the
+    // same arithmetic the chunking used — not from doc_id, which only
+    // coincides with position while fixture ids are 0-based contiguous.
+    val batchOf = docs.map(_._1).zipWithIndex.map { case (id, i) => id -> i / 170 }.toMap
     val pairs = want.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
-    assert(pairs.exists { case (a, b) => a / 170 != b / 170 },
+    assert(pairs.exists { case (a, b) => batchOf(a) != batchOf(b) },
       "chunking must split at least one candidate pair across micro-batches")
   }
 

@@ -43,9 +43,9 @@ def main():
         sql = oracle[name]
         times = []
         for _ in range(iters + 1):  # run 1 = cold/warmup, excluded
-            t0 = time.time()
+            t0 = time.perf_counter()
             con.execute(sql).fetchall()
-            times.append(time.time() - t0)
+            times.append(time.perf_counter() - t0)
         out[name] = round(min(times[1:]), 3)
     total = round(sum(out.values()), 3)
     print(json.dumps({"metric": "duckdb_headline_total", "value": total,
