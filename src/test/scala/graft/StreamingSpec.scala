@@ -475,4 +475,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     assert(spark.table("mhcap").count() === 36L)
   }
+
+  test("L' streaming MinHash-LSH: a re-delivered doc emits nothing new (exactly-once)") {
+    // Source replay: doc 1 arrives again after the (1,2) collision was
+    // already emitted. A member's re-delivery must not re-emit its pairs —
+    // the emit loop is guarded on membership, not just the insert.
+    val dup = "alpha beta gamma delta epsilon"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps
+      .minhashDedupStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("mhreplay").start()
+    try {
+      input.addData(Seq((1L, dup), (2L, dup)))
+      q.processAllAvailable()
+      assert(spark.table("mhreplay").count() === 4L) // one (1,2) row per band
+      input.addData(Seq((1L, dup)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("mhreplay").count() === 4L,
+      "replaying a stored member must not re-emit its collision pairs")
+  }
+
+  test("L' line-df maintenance: doc_id -1 counts toward df like any other id") {
+    // -1 was the old in-band 'no first doc yet' sentinel; state now carries
+    // an explicit seen flag, so a corpus legitimately using id -1 still
+    // triggers boilerplate emission on its SECOND distinct document. Two
+    // micro-batches force the -1 row through the state path first.
+    val line = "alpha beta gamma"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps
+      .lineBoilerMaintain(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("lbmneg").start()
+    try {
+      input.addData(Seq((-1L, line)))
+      q.processAllAvailable()
+      input.addData(Seq((7L, line)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("lbmneg").as[String].collect().toSeq === Seq(line))
+  }
 }
