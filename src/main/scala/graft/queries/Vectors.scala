@@ -610,12 +610,20 @@ object Vectors {
     * source-fingerprinted dir name + staging + atomic rename (a concurrent
     * builder either wins the rename or finds the winner's complete dir).
     */
-  def buildLshIndex(spark: SparkSession, sf: String): String = {
-    val dir = lshIndexDir(sf)
+  def buildLshIndex(spark: SparkSession, sf: String): String =
+    buildBucketsIndex(lshIndexDir(sf), lshBucketTable(spark, sf))
+
+  /** Persist any (vec_id, embedding, norm, t, bkt) bucket table as a
+    * `buckets/` parquet index at `dir` — the shared build step of the
+    * radix ([[buildLshIndex]]) and equal-mass ([[buildLshEqmassIndex]])
+    * persisted-index regimes. By-name `tb` so no plan is constructed when
+    * the index already exists.
+    */
+  private def buildBucketsIndex(dir: String, tb: => DataFrame): String = {
     if (new java.io.File(s"$dir/buckets/_SUCCESS").exists()) return dir
     val staging = java.nio.file.Paths.get(
       s"$dir.tmp.${java.lang.ProcessHandle.current().pid()}")
-    lshBucketTable(spark, sf).write.mode("overwrite").parquet(s"$staging/buckets")
+    tb.write.mode("overwrite").parquet(s"$staging/buckets")
     commitIndexAtomically(staging, dir, "buckets/_SUCCESS")
     dir
   }
@@ -638,6 +646,38 @@ object Vectors {
           Seq("t", "bkt"))
         .where(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("dot")))
+  }
+
+  /** The persisted-index regime of [[dedupEmbeddingLshEqualMass]] — the
+    * registered skew-defense path gets the same train/probe split its
+    * radix sibling has ([[knnLshProbe]]): the histogram-binned bucket
+    * table — the expensive half on a biased corpus (histogram + running
+    * mass + bucket join) — is built and persisted ONCE per (sf, source
+    * fingerprint); the probe reads it and runs only the bucket self-join
+    * + exact-cosine dedup tail. Binning is deterministic (sign bits + an
+    * in-plan histogram of the source data), so output is identical to the
+    * in-query form and it registers under the SAME oracle.
+    */
+  def dedupEmbeddingLshEqmassProbe(spark: SparkSession, sf: String): DataFrame = {
+    val dir = lshEqmassIndexDir(sf)
+    val resolved =
+      if (new java.io.File(s"$dir/buckets/_SUCCESS").exists()) dir
+      else buildLshEqmassIndex(spark, sf)
+    lshDedupPost(lshScoredPairsOf(spark.read.parquet(s"$resolved/buckets")))
+  }
+
+  def buildLshEqmassIndex(spark: SparkSession, sf: String): String =
+    buildBucketsIndex(
+      lshEqmassIndexDir(sf),
+      lshBucketTableEqualMass(Tables.embeddings(spark, sf)))
+
+  /** v1: same (vec_id, embedding, norm, t, bkt) format as the radix index
+    * but histogram-binned — the two schemes bucket differently, so each
+    * versions under its own root and they can never serve each other.
+    */
+  private def lshEqmassIndexDir(sf: String): String = {
+    val tag = sf.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_lsh_eqm_v1/${tag}_${ivfSourceFingerprint(sf)}"
   }
 
   // ---------------------------------------------------------------- §2.D9/I9
@@ -1456,6 +1496,8 @@ object Vectors {
     ("dedup_embedding_cosine", dedupEmbeddingCosine _, dedupEmbeddingCosineSql),
     ("dedup_embedding_lsh", dedupEmbeddingLsh _, dedupEmbeddingLshSql),
     ("dedup_embedding_lsh_eqmass", dedupEmbeddingLshEqualMass _, dedupEmbeddingLshEqualMassSql),
+    // identical deterministic output by construction — same oracle
+    ("dedup_embedding_lsh_eqmass_probe", dedupEmbeddingLshEqmassProbe _, dedupEmbeddingLshEqualMassSql),
     ("knn_lsh_bucketed", knnLshBucketed _, knnLshBucketedSql),
     // identical deterministic output by construction — same oracle
     ("knn_lsh_probe", knnLshProbe _, knnLshBucketedSql),

@@ -135,6 +135,17 @@ class ExtrasSpec extends AnyFunSuite {
     assert(probe.nonEmpty)
   }
 
+  test("dedup_embedding_lsh_eqmass_probe: persists histogram-binned buckets, probe == in-query form") {
+    import graft.queries.Vectors
+    val dir = Vectors.buildLshEqmassIndex(spark, Sf0001)
+    assert(new java.io.File(s"$dir/buckets/_SUCCESS").exists())
+    assert(spark.read.parquet(s"$dir/buckets").count() > 0)
+    val probe = Vectors.dedupEmbeddingLshEqmassProbe(spark, Sf0001).collect().map(_.toSeq)
+    val full = Vectors.dedupEmbeddingLshEqualMass(spark, Sf0001).collect().map(_.toSeq)
+    assert(probe === full)
+    assert(probe.nonEmpty)
+  }
+
   test("embedding-LSH dedup emits only true >=0.4 pairs and finds most of them") {
     import graft.queries.Vectors
     def pairSet(df: org.apache.spark.sql.DataFrame) =
