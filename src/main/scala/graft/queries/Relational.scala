@@ -357,6 +357,49 @@ object Relational {
       |GROUP BY p.event_id, p.user_id, p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // ------------------------------------------------------- §2.C1 + §7.4.5
+  /** Inner equi-join THROUGH the salted replicate-build path
+    * ([[graft.ops.Skew.saltedJoin]]) — the hand-rolled hot-key defense for
+    * the regime where the build side is too big to broadcast but AQE's
+    * OptimizeSkewedJoin does nothing (a hot key inside a small-ish
+    * shuffle). Registered against the PLAIN-join oracle: the salt spreads
+    * a hot suppkey's lineitem rows over 8 reducers, the replicated build
+    * side guarantees every (key, salt) pair still meets its matches, and
+    * the exact-decimal revenue sum makes the result bit-identical to the
+    * unsalted plan — the property SkewSpec pins at sf0.1 and this row now
+    * pins against DuckDB. Salt entropy comes from (l_orderkey,
+    * l_linenumber), unique per row, so the hot key's spread never
+    * degenerates (Skew.contentSalt scaladoc).
+    */
+  def joinSkewSalted(spark: SparkSession, sf: String): DataFrame = {
+    val probe = Tables
+      .lineitem(spark, sf)
+      .select(
+        col("l_suppkey").as("suppkey"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_extendedprice"),
+        col("l_discount"))
+    val build = Tables
+      .supplier(spark, sf)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.ops.Skew
+      .saltedJoin(probe, build, "suppkey", buckets = 8)
+      .groupBy(col("s_nationkey").as("nation"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double")
+          .as("revenue"))
+      .orderBy(col("nation"))
+  }
+
+  val joinSkewSaltedSql: String =
+    """SELECT s_nationkey AS nation, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- §2.D2
   /** Global (ungrouped) aggregate: run totals. */
   def aggGlobal(spark: SparkSession, sf: String): DataFrame =
@@ -715,6 +758,7 @@ object Relational {
     ("join_anti", joinAnti _, joinAntiSql),
     ("join_range", joinRange _, joinRangeSql),
     ("join_asof", joinAsof _, joinAsofSql),
+    ("join_skew_salted", joinSkewSalted _, joinSkewSaltedSql),
     ("agg_global", aggGlobal _, aggGlobalSql),
     ("agg_count_distinct", aggCountDistinct _, aggCountDistinctSql),
     ("agg_rollup", aggRollup _, aggRollupSql),

@@ -183,7 +183,14 @@ object TextOps {
     * [[dedupMinhashLsh]] (which adds the contract ORDER BY) and
     * [[dedupClusters]] (which consumes pairs as graph edges).
     */
-  private[queries] def minhashCandidatePairs(spark: SparkSession, sf: String): DataFrame = {
+  private[queries] def minhashCandidatePairs(spark: SparkSession, sf: String): DataFrame =
+    bandPairs(minhashBandTable(spark, sf))
+
+  /** The (doc_id, band, band_hash) table the LSH self-join runs over —
+    * the artifact a production deployment persists per corpus version
+    * ([[dedupMinhashProbe]]) and the in-query build step everywhere else.
+    */
+  private[queries] def minhashBandTable(spark: SparkSession, sf: String): DataFrame = {
     // No distinct() on shingles: min() is idempotent over duplicates, so
     // deduplication would only add a shuffle without changing any minhash.
     // spreadSmallScan (harness-gated): the 8-seeded-md5 partial agg above
@@ -207,9 +214,13 @@ object TextOps {
       struct(
         lit(bnd).as("band"),
         md5(concat(col(s"m${2 * bnd}"), col(s"m${2 * bnd + 1}")).cast("binary")).as("h"))): _*)
-    val bands = minhash
+    minhash
       .select(col("doc_id"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.h").as("band_hash"))
+  }
+
+  /** Candidate pairs from a band table: equi-join on (band, band_hash). */
+  private def bandPairs(bands: DataFrame): DataFrame = {
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))
@@ -217,6 +228,36 @@ object TextOps {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
+
+  /** The persisted-index regime of [[dedupMinhashLsh]] — the TEXT dedup
+    * family gets the same train/probe split the embedding families have
+    * (ann_ivf_probe, knn_lsh_probe, eqmass probe): the band table — the
+    * expensive half (tokenize, shingle, 8 seeded md5 minhashes per doc) —
+    * is built and persisted ONCE per (sf, source fingerprint) via
+    * [[graft.ops.IndexStore]]; the probe reads it and runs only the
+    * (band, band_hash) self-join. This is the incremental-ingest shape at
+    * 100 TB: signatures are computed once per document version, and each
+    * new shard's bands join against the persisted corpus index. Signature
+    * math is deterministic, so output is identical to dedup_minhash_lsh
+    * and it registers under the SAME oracle.
+    */
+  def dedupMinhashProbe(spark: SparkSession, sf: String): DataFrame = {
+    val dir = minhashIndexDir(sf)
+    val resolved =
+      if (new java.io.File(s"$dir/bands/_SUCCESS").exists()) dir
+      else buildMinhashIndex(spark, sf)
+    bandPairs(spark.read.parquet(s"$resolved/bands"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def buildMinhashIndex(spark: SparkSession, sf: String): String =
+    graft.ops.IndexStore.buildOnce(minhashIndexDir(sf), "bands/_SUCCESS") { staging =>
+      minhashBandTable(spark, sf).write.mode("overwrite").parquet(s"$staging/bands")
+    }
+
+  /** v1: (doc_id, band, band_hash), 8 minhashes × 4 bands of 2 rows. */
+  private def minhashIndexDir(sf: String): String =
+    graft.ops.IndexStore.indexDir("graft_mhlsh_v1", sf, Tables.path(sf, "documents"))
 
   def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame =
     minhashCandidatePairs(spark, sf).orderBy(col("doc_a"), col("doc_b"))
@@ -482,6 +523,41 @@ object TextOps {
       Tables.documents(spark, sf).select(col("doc_id")),
       minhashCandidatePairs(spark, sf).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
+
+  /** Oracle for [[dedupClustersFixpoint]]: DuckDB's WITH RECURSIVE runs
+    * the SAME loop-until-fixpoint the Spark side runs, so the fixpoint
+    * form gets a true fixpoint oracle instead of borrowing the unrolled
+    * one (which would silently agree only up to [[CcRounds]] hops).
+    * `reach(v, lbl)` is the transitive closure over the symmetric edge
+    * set — lbl is in v's component — seeded with (d, d) for every
+    * document; min(lbl) per v is the component minimum, exactly
+    * [[connectedComponentsFixpoint]]'s cluster_id. Closure size is
+    * Σ|C|² over components — candidate-pair components are tiny dup
+    * clusters, so this stays small even though the corpus is not.
+    */
+  val dedupClustersFixpointSql: String = {
+    val splitAt = dedupMinhashLshSql.indexOf("\nSELECT a.doc_id")
+    val ctes = dedupMinhashLshSql.substring(0, splitAt)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+    val pairsBody = dedupMinhashLshSql.substring(splitAt)
+      .replace("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands",
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b")
+      .replace(" ORDER BY doc_a, doc_b", "")
+      .trim
+    s"""$ctes, pairs AS (
+       |  $pairsBody
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT doc_id AS v, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS v, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+       |)
+       |SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach
+       |GROUP BY v ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------- north star: LSH, zero-shuffle form
   /** MinHash-LSH with the signature computed as a PER-ROW fold instead of
@@ -899,8 +975,10 @@ object TextOps {
     ("docs_profile", docsProfile _, docsProfileSql),
     ("tfidf_top_terms", tfidfTopTerms _, tfidfTopTermsSql),
     ("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
+    ("dedup_minhash_probe", dedupMinhashProbe _, dedupMinhashLshSql),
     ("dedup_edit_distance", dedupEditDistance _, dedupEditDistanceSql),
     ("dedup_clusters", dedupClusters _, dedupClustersSql),
+    ("dedup_clusters_fixpoint", dedupClustersFixpoint _, dedupClustersFixpointSql),
     ("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     ("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
     ("lang_id", langId _, langIdSql),

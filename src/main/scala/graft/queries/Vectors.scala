@@ -629,10 +629,8 @@ object Vectors {
   }
 
   /** v1: round-9 bucket-table format (vec_id, embedding, norm, t, bkt). */
-  private def lshIndexDir(sf: String): String = {
-    val tag = sf.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_lsh_v1/${tag}_${ivfSourceFingerprint(sf)}"
-  }
+  private def lshIndexDir(sf: String): String =
+    graft.ops.IndexStore.indexDir("graft_lsh_v1", sf, Tables.path(sf, "embeddings"))
 
   def knnLshProbe(spark: SparkSession, sf: String): DataFrame = {
     val dir = lshIndexDir(sf)
@@ -675,10 +673,8 @@ object Vectors {
     * but histogram-binned — the two schemes bucket differently, so each
     * versions under its own root and they can never serve each other.
     */
-  private def lshEqmassIndexDir(sf: String): String = {
-    val tag = sf.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_lsh_eqm_v1/${tag}_${ivfSourceFingerprint(sf)}"
-  }
+  private def lshEqmassIndexDir(sf: String): String =
+    graft.ops.IndexStore.indexDir("graft_lsh_eqm_v1", sf, Tables.path(sf, "embeddings"))
 
   // ---------------------------------------------------------------- §2.D9/I9
   /** Per-label centroids, element-wise: posexplode → exact-decimal mean per
@@ -1070,57 +1066,26 @@ object Vectors {
     dir
   }
 
-  /** Atomic-rename `staging` into place as `dir`, shared by the IVF and
-    * LSH index builders: a concurrent JVM building the same
-    * (fingerprinted, hence identical — both recipes are deterministic)
-    * index either wins the rename or finds the winner's complete
-    * directory and discards its own staging copy. Linux rename(2) onto
-    * an existing non-empty dir surfaces as a GENERIC FileSystemException
-    * (ENOTEMPTY), not the typed DirectoryNotEmptyException — catch the
-    * superclass, then verify the winner's `marker` file really exists.
+  /** Atomic-rename commit, shared with every other probe family via
+    * [[graft.ops.IndexStore]] (concurrency + ENOTEMPTY semantics
+    * documented there).
     */
   private def commitIndexAtomically(
-      staging: java.nio.file.Path, dir: String, marker: String): Unit = {
-    try
-      java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: java.nio.file.FileSystemException =>
-        if (!new java.io.File(s"$dir/$marker").exists()) throw e
-        val walk = java.nio.file.Files.walk(staging)
-        try
-          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-    }
-  }
+      staging: java.nio.file.Path, dir: String, marker: String): Unit =
+    graft.ops.IndexStore.commitAtomically(staging, dir, marker)
 
   /** Index location: one directory per (scale-factor dir, SOURCE-DATA
-    * fingerprint) under the JVM temp root. The `v2` tag versions the index
-    * FORMAT — bump it when the training recipe changes; the fingerprint
-    * (size + mtime of every embeddings parquet part, ADVICE r6) keys the
-    * index to the exact bytes it was trained on, so regenerating the
-    * testdata in place can never serve a stale index — the new fingerprint
-    * simply misses and the probe rebuilds.
+    * fingerprint) under the JVM temp root — [[graft.ops.IndexStore]]'s
+    * staleness contract. The version tag marks the index FORMAT — bump it
+    * when the training recipe changes.
     */
-  private def ivfIndexDir(sf: String): String = {
-    val tag = sf.replaceAll("[^A-Za-z0-9.]+", "_")
+  private def ivfIndexDir(sf: String): String =
     // v5: round-9 recipe — v4 (train-on-sample Lloyd + two-level routed
     // assignment) plus the self-pinned cell→super mapping (ADVICE r8: no
     // empty supers). Older indexes would serve assignments computed under
     // the unpinned routing.
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_v5/${tag}_${ivfSourceFingerprint(sf)}"
-  }
+    graft.ops.IndexStore.indexDir("graft_ivf_v5", sf, Tables.path(sf, "embeddings"))
 
-  private def ivfSourceFingerprint(sf: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk) else Seq(f)
-    val sig = walk(new java.io.File(Tables.path(sf, "embeddings")))
-      .filterNot(_.getName.startsWith("_"))
-      .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
-      .mkString("|")
-    java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
-  }
 
   def annIvfProbe(spark: SparkSession, sf: String): DataFrame = {
     val dir = ivfIndexDir(sf)

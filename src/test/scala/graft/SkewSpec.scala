@@ -172,4 +172,23 @@ class SkewSpec extends AnyFunSuite {
       assert(width <= 2 * 125 && mass <= 2 * 125, s"width=$width mass=$mass")
     } finally emb.unpersist()
   }
+
+  test("join_skew_salted query == plain-join aggregate (sf0.01)") {
+    // the registered query routes lineitem⋈supplier through saltedJoin;
+    // its oracle is the PLAIN join SQL — pin the equivalence in-JVM too
+    val got = graft.queries.Relational.joinSkewSalted(spark, Sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val plain = Tables.lineitem(spark, Sf001)
+      .join(Tables.supplier(spark, Sf001), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nation"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("nation"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got === plain)
+  }
 }

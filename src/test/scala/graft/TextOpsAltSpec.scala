@@ -16,6 +16,21 @@ class TextOpsAltSpec extends AnyFunSuite {
     assert(viaFold.nonEmpty)
   }
 
+  test("minhash persisted-index probe == in-query LSH; index builds once and is reused") {
+    import graft.queries.TextOps
+    val inQuery = TextOps.dedupMinhashLsh(spark, Sf001).collect().toSeq
+    val viaProbe = TextOps.dedupMinhashProbe(spark, Sf001).collect().toSeq
+    assert(viaProbe === inQuery && viaProbe.nonEmpty)
+    // the committed index is complete on disk and a second probe serves
+    // from it (marker mtime unchanged — no rebuild)
+    val dir = TextOps.buildMinhashIndex(spark, Sf001)
+    val marker = new java.io.File(s"$dir/bands/_SUCCESS")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    assert(TextOps.dedupMinhashProbe(spark, Sf001).collect().toSeq === inQuery)
+    assert(marker.lastModified() === mtime)
+  }
+
   test("df-capped jaccard == uncapped jaccard output on the test corpus") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
