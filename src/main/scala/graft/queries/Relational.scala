@@ -577,6 +577,69 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------ §2.F + layout
+  /** Z-order (Morton) layout audit — the multi-dimensional clustering
+    * step a 100 TB lake uses so min/max file pruning works on EITHER key
+    * of a two-key filter surface (partkey × suppkey here). Each key is
+    * quantized to 16 bits against its in-plan extent (exact int64
+    * arithmetic: ×65535 then integer `div`, never float), the bits are
+    * interleaved into a 32-bit z-value, and rows are grouped by the top 6
+    * z-bits — the 8×8 grid cells a z-range-sorted file layout would
+    * produce. The output is the pruning evidence itself: each cell's
+    * per-key min/max spans ≈ 1/8 of that key's domain, so a predicate on
+    * either key touches ≈ 1/8 of the files (vs 100% under hash or
+    * single-key layout for the other key).
+    *
+    * The interleave is 32 UNROLLED shift/mask terms built by a Scala
+    * fold — a plain codegen'd expression tree, deliberately not an
+    * `aggregate()` HOF lambda (interpreted per row — the measured loss
+    * documented on [[TextOps.dedupMinhashPerRow]]). At deployment scale
+    * the same zval feeds repartitionByRange + sortWithinPartitions; the
+    * registered query reports the layout, which is the oracle-able part.
+    */
+  def layoutZorder(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(spark, sf).select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val ext = li.agg(
+      min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    def quant(c: String): Column =
+      expr(s"(($c - ${c}min) * 65535L) div greatest(${c}max - ${c}min, 1L)")
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, j) =>
+      acc +
+        shiftleft(shiftright(col("xq"), j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(col("yq"), j).bitwiseAND(lit(1L)), 2 * j + 1)
+    }
+    li.crossJoin(broadcast(ext))
+      .withColumn("xq", quant("x"))
+      .withColumn("yq", quant("y"))
+      .withColumn("zcell", shiftright(z, 26))
+      .groupBy(col("zcell"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy(col("zcell"))
+  }
+
+  val layoutZorderSql: String = {
+    val terms = (0 until 16).flatMap(j => Seq(
+      s"(((xq >> $j) & 1) << ${2 * j})",
+      s"(((yq >> $j) & 1) << ${2 * j + 1})")).mkString(" + ")
+    s"""WITH ext AS (
+       |  SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+       |         min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+       |  FROM lineitem
+       |), q AS (
+       |  SELECT l_partkey AS x, l_suppkey AS y,
+       |    ((l_partkey - xmin) * 65535) // greatest(xmax - xmin, 1) AS xq,
+       |    ((l_suppkey - ymin) * 65535) // greatest(ymax - ymin, 1) AS yq
+       |  FROM lineitem CROSS JOIN ext
+       |)
+       |SELECT ($terms) >> 26 AS zcell, COUNT(*) AS n_rows,
+       |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+       |FROM q GROUP BY 1 ORDER BY zcell""".stripMargin
+  }
+
   // ---------------------------------------------------------------- §2.F3
   /** distinct over a projection. */
   def distinctValues(spark: SparkSession, sf: String): DataFrame =
@@ -759,6 +822,7 @@ object Relational {
     ("join_range", joinRange _, joinRangeSql),
     ("join_asof", joinAsof _, joinAsofSql),
     ("join_skew_salted", joinSkewSalted _, joinSkewSaltedSql),
+    ("layout_zorder", layoutZorder _, layoutZorderSql),
     ("agg_global", aggGlobal _, aggGlobalSql),
     ("agg_count_distinct", aggCountDistinct _, aggCountDistinctSql),
     ("agg_rollup", aggRollup _, aggRollupSql),

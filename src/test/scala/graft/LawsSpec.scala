@@ -133,6 +133,26 @@ class LawsSpec extends AnyFunSuite {
   /** MinHash estimate vs exact Jaccard — the scheme used by
     * dedup_minhash_lsh, checked against its statistical error bound.
     */
+  test("layout_zorder locality: every cell spans <= 1/8 of each key's domain (+1 quantization step)") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.queries.Relational.layoutZorder(spark, Sf001).collect()
+    assert(cells.nonEmpty && cells.length <= 64)
+    val li = Tables.lineitem(spark, Sf001)
+      .agg(min(col("l_partkey")), max(col("l_partkey")), min(col("l_suppkey")), max(col("l_suppkey")))
+      .head()
+    val (xd, yd) = (li.getLong(1) - li.getLong(0), li.getLong(3) - li.getLong(2))
+    // top-3 z-bits per key = 8 bands; a band's raw-key width is bounded by
+    // ceil(domain/8) plus one quantization step of the 16-bit grid
+    def bound(d: Long) = d / 8 + d / 65535 + 2
+    cells.foreach { r =>
+      val (xs, ys) = (r.getLong(3) - r.getLong(2), r.getLong(5) - r.getLong(4))
+      assert(xs <= bound(xd), s"cell ${r.getLong(0)}: x span $xs > ${bound(xd)}")
+      assert(ys <= bound(yd), s"cell ${r.getLong(0)}: y span $ys > ${bound(yd)}")
+    }
+    // the cells partition the table: row counts sum to |lineitem|
+    assert(cells.map(_.getLong(1)).sum === Tables.lineitem(spark, Sf001).count())
+  }
+
   test("md5 minhash approximates Jaccard within 3 sigma (16 seeds)") {
     def md5hex(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
