@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -247,11 +247,80 @@ object EventAnalytics {
       |  valid_to IS NULL AS is_current
       |FROM starts ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin
 
+  // ------------------------------------------------ count-min sketch (§2.L)
+  /** Count-Min heavy-hitter audit: a depth-4 × width-1024 CMS over the
+    * event stream's user_id, read back for the exact top-20 users —
+    * (exact_n, cms_n) side by side, the one-sided error visible in the
+    * output (CMS never underestimates; LawsSpec pins cms_n ≥ exact_n).
+    *
+    * The sketch is THE bounded-state frequency primitive at 100 TB: the
+    * build explodes each event into 4 (depth, bucket) cells and
+    * aggregates — partial aggregation caps per-task state at 4096 cells
+    * regardless of the key cardinality (a groupBy(user_id) holds state
+    * per DISTINCT USER; the sketch holds 4096 counters, period). Buckets
+    * are seeded md5 (the portable-hash recipe of split_train_test /
+    * weighted_sample), so the DuckDB oracle builds the bit-identical
+    * matrix. The exact top-20 probe side is itself a two-phase top-k
+    * (TakeOrderedAndProject), and the 4096-row sketch broadcasts to the
+    * probe join.
+    */
+  def sketchCountminHh(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(spark, sf).select(col("user_id"))
+    def bucket(seed: Column, c: Column): Column =
+      pmod(
+        conv(
+          substring(
+            md5(concat(c.cast("string"), lit("#cms:"), seed.cast("string")).cast("binary")),
+            1, 8),
+          16, 10).cast("long"),
+        lit(1024L))
+    def cells(c: Column): Column =
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("d"), bucket(lit(i), c).as("b"))): _*))
+    val cms = ev
+      .select(cells(col("user_id")).as("e"))
+      .groupBy(col("e.d").as("d"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val top = ev
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id").asc)
+      .limit(20)
+    top
+      .select(col("user_id"), col("exact_n"), cells(col("user_id")).as("p"))
+      .select(col("user_id"), col("exact_n"), col("p.d").as("d"), col("p.b").as("b"))
+      .join(broadcast(cms), Seq("d", "b"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("n")).as("cms_n"))
+      .orderBy(col("exact_n").desc, col("user_id").asc)
+  }
+
+  val sketchCountminHhSql: String =
+    """WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+      |cells AS (
+      |  SELECT d,
+      |    CAST(('0x' || substring(md5(user_id || '#cms:' || d), 1, 8)) AS BIGINT) % 1024 AS b
+      |  FROM events CROSS JOIN depths
+      |), cms AS (
+      |  SELECT d, b, COUNT(*) AS n FROM cells GROUP BY 1, 2
+      |), top AS (
+      |  SELECT user_id, COUNT(*) AS exact_n FROM events
+      |  GROUP BY 1 ORDER BY exact_n DESC, user_id ASC LIMIT 20
+      |), probe AS (
+      |  SELECT user_id, exact_n, d,
+      |    CAST(('0x' || substring(md5(user_id || '#cms:' || d), 1, 8)) AS BIGINT) % 1024 AS b
+      |  FROM top CROSS JOIN depths
+      |)
+      |SELECT p.user_id, p.exact_n, MIN(c.n) AS cms_n
+      |FROM probe p JOIN cms c ON c.d = p.d AND c.b = p.b
+      |GROUP BY 1, 2 ORDER BY exact_n DESC, user_id ASC""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("window_rolling_range", windowRollingRange _, windowRollingRangeSql),
     ("funnel_stages", funnelStages _, funnelStagesSql),
     ("cohort_retention", cohortRetention _, cohortRetentionSql),
     ("click_view_attribution", clickViewAttribution _, clickViewAttributionSql),
-    ("scd2_intervals", scd2Intervals _, scd2IntervalsSql)
+    ("scd2_intervals", scd2Intervals _, scd2IntervalsSql),
+    ("sketch_countmin_hh", sketchCountminHh _, sketchCountminHhSql)
   )
 }

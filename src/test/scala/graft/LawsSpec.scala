@@ -153,6 +153,19 @@ class LawsSpec extends AnyFunSuite {
     assert(cells.map(_.getLong(1)).sum === Tables.lineitem(spark, Sf001).count())
   }
 
+  test("count-min sketch never underestimates; estimate within width-bound slack") {
+    val rows = graft.queries.EventAnalytics.sketchCountminHh(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 20)
+    val total = Tables.events(spark, Sf001).count()
+    rows.foreach { case (u, exact, cms) =>
+      assert(cms >= exact, s"user $u: CMS $cms < exact $exact — one-sided error violated")
+      // standard CMS bound: overestimate ≤ 2·N/w per depth with prob 1/2^d;
+      // with d=4, w=1024 allow a generous deterministic ceiling
+      assert(cms - exact <= 4 * total / 1024 + 1, s"user $u: overestimate ${cms - exact}")
+    }
+  }
+
   test("md5 minhash approximates Jaccard within 3 sigma (16 seeds)") {
     def md5hex(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
