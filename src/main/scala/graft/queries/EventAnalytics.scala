@@ -264,9 +264,12 @@ object EventAnalytics {
     * (TakeOrderedAndProject), and the 4096-row sketch broadcasts to the
     * probe join.
     */
-  def sketchCountminHh(spark: SparkSession, sf: String): DataFrame = {
-    val ev = Tables.events(spark, sf).select(col("user_id"))
-    def bucket(seed: Column, c: Column): Column =
+  /** The 4 (depth, bucket) CMS cells of a key — shared with the streaming
+    * maintenance twin ([[graft.streaming.StreamOps.cmsMaintain]]) so both
+    * engines build the bit-identical matrix.
+    */
+  private[graft] def cmsCells(c: Column): Column = {
+    def bucket(seed: Column): Column =
       pmod(
         conv(
           substring(
@@ -274,11 +277,14 @@ object EventAnalytics {
             1, 8),
           16, 10).cast("long"),
         lit(1024L))
-    def cells(c: Column): Column =
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("d"), bucket(lit(i), c).as("b"))): _*))
+    explode(array((0 until 4).map(i =>
+      struct(lit(i).as("d"), bucket(lit(i)).as("b"))): _*))
+  }
+
+  def sketchCountminHh(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(spark, sf).select(col("user_id"))
     val cms = ev
-      .select(cells(col("user_id")).as("e"))
+      .select(cmsCells(col("user_id")).as("e"))
       .groupBy(col("e.d").as("d"), col("e.b").as("b"))
       .agg(count(lit(1)).as("n"))
     val top = ev
@@ -287,7 +293,7 @@ object EventAnalytics {
       .orderBy(col("exact_n").desc, col("user_id").asc)
       .limit(20)
     top
-      .select(col("user_id"), col("exact_n"), cells(col("user_id")).as("p"))
+      .select(col("user_id"), col("exact_n"), cmsCells(col("user_id")).as("p"))
       .select(col("user_id"), col("exact_n"), col("p.d").as("d"), col("p.b").as("b"))
       .join(broadcast(cms), Seq("d", "b"))
       .groupBy(col("user_id"), col("exact_n"))

@@ -96,6 +96,25 @@ object StreamOps {
       .agg(count(lit(1)).as("obs"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("obs"))
 
+  /** Streaming count-min sketch maintenance — the incremental form of
+    * [[graft.queries.EventAnalytics.sketchCountminHh]]'s build half, over
+    * any frame with a `user_id` column. The defining property of the
+    * sketch is exactly what a streaming aggregation needs: state is AT
+    * MOST 4096 (depth, bucket) counters NO MATTER how many distinct keys
+    * the unbounded stream carries — a streaming groupBy(user_id) grows
+    * state per distinct user forever, this cannot. No watermark, by
+    * design: nothing is ever evicted because nothing needs to be; the
+    * sketch is a corpus-lifetime frequency structure. Cells come from the
+    * shared [[graft.queries.EventAnalytics.cmsCells]], so the maintained
+    * matrix is bit-identical to the batch build on the same prefix
+    * (StreamingSpec pins it per micro-batch).
+    */
+  def cmsMaintain(keys: DataFrame): DataFrame =
+    keys
+      .select(graft.queries.EventAnalytics.cmsCells(col("user_id")).as("e"))
+      .groupBy(col("e.d").as("d"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+
   // ---------------------------------------------------------------- §2.J7
   /** Stream–stream interval join: each click joins the same user's view
     * events from the preceding 30 minutes (attribution). BOTH sides carry

@@ -57,6 +57,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) === sortedRows(want))
   }
 
+  test("CMS maintenance: streaming matrix == batch per micro-batch; state bounded at 4096 while keys grow past it") {
+    val input = MemoryStream[Long](spark)
+    val q = StreamOps.cmsMaintain(input.toDF().select(col("value").as("user_id")))
+      .writeStream.outputMode("complete").format("memory").queryName("cmsq").start()
+    try {
+      var fed = Seq.empty[Long]
+      // 5 micro-batches x 2000 fresh keys = 10000 distinct keys, far past
+      // the 4096-cell ceiling a groupBy(user_id) would have blown through
+      (0 until 5).foreach { b =>
+        val batch = (b * 2000L) until ((b + 1) * 2000L)
+        input.addData(batch)
+        q.processAllAvailable()
+        fed = fed ++ batch
+        val got = spark.table("cmsq").collect()
+          .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+        val want = StreamOps.cmsMaintain(fed.toDF("user_id")).collect()
+          .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+        assert(got === want, s"batch $b: streaming matrix != batch matrix")
+        assert(got.size <= 4096, s"batch $b: ${got.size} cells > 4096")
+      }
+      val cells = spark.table("cmsq").count()
+      assert(fed.distinct.size === 10000 && cells <= 4096,
+        s"state rows $cells not bounded vs ${fed.distinct.size} keys")
+      // every key's point estimate over the final matrix >= its true count (1)
+      val matrix = spark.table("cmsq").collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      val est = StreamOps.cmsMaintain(Seq(0L, 9999L).toDF("user_id")).collect()
+        .groupBy(_.getInt(0)).values
+      // (cells of a 2-key probe frame: both keys hashed, min over depths >= 1 each)
+      assert(est.forall(_.forall(r => matrix.getOrElse((r.getInt(0), r.getLong(1)), 0L) >= 1L)))
+    } finally q.stop()
+  }
+
   test("drift monitor: streaming hourly per-type counts == batch; chi2 over the sink == the registered query") {
     val got = runStream(StreamOps.driftObs(streamEvents), "complete", "driftobs")
     val want = StreamOps.driftObs(batchEvents)
