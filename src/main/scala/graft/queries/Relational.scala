@@ -797,6 +797,54 @@ object Relational {
     """SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------- §2.D4
+  /** Approximate distinct via LINEAR COUNTING — the deterministic sketch
+    * sibling of the HLL row (approx_count_distinct stays ScalaTest-bound
+    * because its register merge isn't oracle-reproducible; this one is):
+    * per day, hash users into m = 65536 seeded-md5 buckets and estimate
+    * distinct = m·ln(m/(m−V)) from the occupied-bucket count V. Every
+    * input is exact-integer; the single transcendental is rounded at 4 dp
+    * (the portable-libm discipline of bm25's 8-dp idf), and a saturated
+    * sketch (V = m) yields NULL rather than ±∞ in both engines. Exact
+    * count sits alongside, so the output IS the accuracy audit. At scale
+    * the sketch state is the story: V is a distinct-count over a domain
+    * capped at m per day — bounded map-side state — while exact_d's state
+    * grows with true cardinality.
+    */
+  def approxDistinctLinear(spark: SparkSession, sf: String): DataFrame = {
+    val m = 65536L
+    val bkt = pmod(
+      conv(
+        substring(md5(concat(col("user_id").cast("string"), lit("#lc:7")).cast("binary")), 1, 8),
+        16, 10).cast("long"),
+      lit(m))
+    Tables
+      .events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"), bkt.as("bkt"))
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_d"),
+        countDistinct(col("bkt")).as("n_occupied"))
+      .withColumn(
+        "lc_est",
+        when(
+          col("n_occupied") < m,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("n_occupied"))), 4)))
+      .orderBy(col("day"))
+  }
+
+  val approxDistinctLinearSql: String =
+    """WITH occ AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |    COUNT(DISTINCT user_id) AS exact_d,
+      |    COUNT(DISTINCT CAST(('0x' || substring(md5(user_id || '#lc:7'), 1, 8)) AS BIGINT) % 65536) AS n_occupied
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT day, exact_d, n_occupied,
+      |  CASE WHEN n_occupied < 65536
+      |    THEN round(65536.0 * ln(65536.0 / (65536 - n_occupied)), 4) END AS lc_est
+      |FROM occ ORDER BY day""".stripMargin
+
   /** All (name, builder, oracle) triples this module contributes.
     * q1_pricing_summary is BASELINE.md's name for the flagship
     * (= agg_groupby); both keys are registered so BENCH lines up with
@@ -808,6 +856,7 @@ object Relational {
     ("q3_join_topk", q3JoinTopk _, q3JoinTopkSql),
     ("q5_multijoin", q5Multijoin _, q5MultijoinSql),
     ("distinct_users_daily", distinctUsersDaily _, distinctUsersDailySql),
+    ("approx_distinct_linear", approxDistinctLinear _, approxDistinctLinearSql),
     ("scan_project", scanProject _, scanProjectSql),
     ("filter_predicates", filterPredicates _, filterPredicatesSql),
     ("case_when_classify", caseWhenClassify _, caseWhenClassifySql),
