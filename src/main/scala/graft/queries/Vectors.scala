@@ -624,7 +624,7 @@ object Vectors {
     val staging = java.nio.file.Paths.get(
       s"$dir.tmp.${java.lang.ProcessHandle.current().pid()}")
     tb.write.mode("overwrite").parquet(s"$staging/buckets")
-    commitIndexAtomically(staging, dir, "buckets/_SUCCESS")
+    graft.ops.IndexStore.commitAtomically(staging, dir, "buckets/_SUCCESS")
     dir
   }
 
@@ -1062,17 +1062,9 @@ object Vectors {
     val cells = trainCells(emb, params)
     cells.write.mode("overwrite").parquet(s"$staging/cells")
     assignTop2(emb, cells, params).write.mode("overwrite").parquet(s"$staging/assigned")
-    commitIndexAtomically(staging, dir, "assigned/_SUCCESS")
+    graft.ops.IndexStore.commitAtomically(staging, dir, "assigned/_SUCCESS")
     dir
   }
-
-  /** Atomic-rename commit, shared with every other probe family via
-    * [[graft.ops.IndexStore]] (concurrency + ENOTEMPTY semantics
-    * documented there).
-    */
-  private def commitIndexAtomically(
-      staging: java.nio.file.Path, dir: String, marker: String): Unit =
-    graft.ops.IndexStore.commitAtomically(staging, dir, marker)
 
   /** Index location: one directory per (scale-factor dir, SOURCE-DATA
     * fingerprint) under the JVM temp root — [[graft.ops.IndexStore]]'s
@@ -1085,7 +1077,6 @@ object Vectors {
     // empty supers). Older indexes would serve assignments computed under
     // the unpinned routing.
     graft.ops.IndexStore.indexDir("graft_ivf_v5", sf, Tables.path(sf, "embeddings"))
-
 
   def annIvfProbe(spark: SparkSession, sf: String): DataFrame = {
     val dir = ivfIndexDir(sf)
