@@ -480,9 +480,14 @@ object TextOps {
     * under-merging. Each round's labels are localCheckpoint-materialized —
     * without the cut, round r's lineage re-executes all prior rounds per
     * consumer (the 2^rounds blowup documented on [[dedupClusters]]) — and
-    * the convergence probe is one count of changed labels (never a
-    * collect). `maxRounds` bounds the loop against a pathological corpus;
-    * hitting it raises rather than returning non-converged labels.
+    * the convergence probe is ONE aggregate over the new labels, no join:
+    * with self-edges, every label is non-increasing per round, so the
+    * label SUM (exact decimal(38,0) — no overflow, no float drift) is
+    * strictly decreasing until the fixpoint and stationary exactly there.
+    * (Replaced the round-9-original join-back+count probe: one fewer
+    * corpus-wide shuffle per round, same decision.) `maxRounds` bounds
+    * the loop against a pathological corpus; hitting it raises rather
+    * than returning non-converged labels.
     */
   def connectedComponentsFixpoint(
       docs: DataFrame,
@@ -493,9 +498,12 @@ object TextOps {
       .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .localCheckpoint()
     var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lbl")).localCheckpoint()
-    var changed = 1L
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var round = 0
-    while (changed > 0 && round < maxRounds) {
+    while (changed && round < maxRounds) {
       round += 1
       val next = edges
         .join(labels, col("src") === col("v"))
@@ -503,13 +511,12 @@ object TextOps {
         .agg(min(col("lbl")).as("lbl"))
         .select(col("dst").as("v"), col("lbl"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("v"), col("lbl").as("prev")), "v")
-        .where(col("lbl") =!= col("prev"))
-        .count()
+      val s = labelSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       labels = next
     }
-    if (changed > 0) throw new IllegalStateException(
+    if (changed) throw new IllegalStateException(
       s"connected components did not converge within $maxRounds rounds")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
