@@ -423,9 +423,127 @@ object Multimodal {
       |  FROM documents WHERE n_chars % 2 = 1
       |) ORDER BY doc_id, frame_no""".stripMargin
 
+  // ------------------------------------------- perceptual image dedup (aHash)
+  /** 64-bit average-hash of a decoded image — the perceptual fingerprint
+    * image dedup pipelines bucket on (robust to re-encoding and light
+    * pixel noise, unlike the byte-level checksum_md5): 8×8 grid of
+    * area-mean grays, bit c set iff cell c is brighter than the global
+    * mean. ALL-INTEGER: grays sum per cell, and the threshold compares
+    * sums(c)·Σcount against Σsum·count(c) (exact cross-multiplication —
+    * no float division anywhere), so the hash is bit-stable across JVMs
+    * and re-runs by construction.
+    */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val c = gy * 8 + gx
+        sums(c) += gray
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val totalSum = sums.sum
+    val totalCount = counts.sum
+    var bits = 0L
+    var c = 0
+    while (c < 64) {
+      if (sums(c) * totalCount > totalSum * counts(c)) bits |= (1L << c)
+      c += 1
+    }
+    bits
+  }
+
+  /** Full pixel decode with a REUSED reader (the per-partition shape, same
+    * rationale as [[decodePngHeader]] — one plugin lookup per partition,
+    * not per image; here the pixel inflate is the point, not waste).
+    */
+  def decodePngImage(
+      reader: javax.imageio.ImageReader, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally {
+      reader.reset()
+      iis.close()
+    }
+  }
+
+  /** (doc_id, ahash) over any (doc_id, …, content) image frame: decode +
+    * hash per partition — the only non-Catalyst step; everything above
+    * (banding, joins, hamming) stays codegen'd.
+    */
+  def imageAhash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        lazy val reader = newPngReader()
+        rows.map { case (id, bytes) => (id, aHash64(decodePngImage(reader, bytes))) }
+      }
+      .toDF("doc_id", "ahash")
+  }
+
+  /** Registered query: per-image aHash + its 4 hamming-LSH band keys over
+    * the corpus's synthetic images, ordered — the INDEX an image-dedup
+    * deployment ships per corpus version. Rows-only check by design (no
+    * SQL engine can decode PNG pixels, so there is no oracle twin — the
+    * hash math itself is pinned in MultimodalSpec: determinism across
+    * re-encode, near-dup detection on planted perturbations, and the
+    * band-recall guarantee below).
+    */
+  def imageAhashIndex(spark: SparkSession, sf: String): DataFrame = {
+    val hashes = imageAhash(spark, syntheticMedia(spark, sf, Some("image")))
+    (0 until 4)
+      .foldLeft(hashes) { (df, b) =>
+        df.withColumn(s"band$b", shiftright(col("ahash"), 16 * b).bitwiseAND(lit(0xffffL)))
+      }
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup candidate pairs by hamming-LSH over the aHash: 4 disjoint
+    * 16-bit bands; a pair collides iff SOME band is bit-equal, so any pair
+    * within hamming distance 3 is GUARANTEED a candidate (pigeonhole: ≤ 3
+    * flipped bits cannot touch all 4 bands), then the exact
+    * bit_count(a XOR b) ≤ maxHamming filter confirms — never an all-pairs
+    * comparison, the same candidates-then-confirm shape as every other
+    * dedup family here.
+    */
+  def ahashCandidatePairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashes.select(
+      col("doc_id"),
+      col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("ahash"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("ahash").as("ahash_a"), col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("ahash").as("ahash_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ahash_a"), col("ahash_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ahash_a ^ ahash_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("multimodal_meta", multimodalMeta _, multimodalMetaSql),
     ("multimodal_resize", multimodalResize _, multimodalResizeSql),
-    ("multimodal_frame_sample", multimodalFrameSample _, multimodalFrameSampleSql)
+    ("multimodal_frame_sample", multimodalFrameSample _, multimodalFrameSampleSql),
+    ("image_ahash", imageAhashIndex _, "")
   )
 }

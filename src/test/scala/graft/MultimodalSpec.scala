@@ -143,4 +143,94 @@ class MultimodalSpec extends AnyFunSuite {
       assert(Multimodal.decodeWavWith(r, viaSpi) === Multimodal.decodeWav(viaSystem))
     }
   }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  /** Deterministic pseudo-noise image: pixel = integer mix of (x, y, k).
+    * Unlike the corpus's gradient renders (whose aHash is dominated by
+    * the shared x·31+y·17 structure — seeds only shift values, so ALL
+    * corpus images are aHash-near each other, a real property the index
+    * query exposes), different mix constants give genuinely different
+    * cell-level structure.
+    */
+  private def noiseImage(w: Int, h: Int, k: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      var v = x * 374761393 + y * 668265263 + k * 1274126177
+      v = (v ^ (v >>> 13)) * 1103515245
+      img.setRGB(x, y, v & 0xffffff)
+    }
+    img
+  }
+
+  test("aHash is bit-stable across PNG re-encode; local perturbation moves few bits, different content many") {
+    // re-encode stability on the corpus generator's own output (lossless)
+    val corpus = decode(Multimodal.makePng(48, 36, 7L))
+    assert(Multimodal.aHash64(decode(pngBytes(corpus))) === Multimodal.aHash64(corpus))
+    val base = noiseImage(48, 36, 1)
+    val h0 = Multimodal.aHash64(base)
+    assert(Multimodal.aHash64(decode(pngBytes(base))) === h0)
+    // brighten one 6x4 corner block: a local near-dup perturbation
+    val near = decode(pngBytes(base))
+    for (x <- 0 until 6; y <- 0 until 4) {
+      val rgb = near.getRGB(x, y)
+      def c(v: Int) = math.min(255, v + 32)
+      near.setRGB(x, y, (c((rgb >> 16) & 0xff) << 16) | (c((rgb >> 8) & 0xff) << 8) | c(rgb & 0xff))
+    }
+    val dNear = java.lang.Long.bitCount(h0 ^ Multimodal.aHash64(near))
+    assert(dNear <= 6, s"perturbed copy moved $dNear bits")
+    // genuinely different content lands far away (deterministic, stable)
+    val dOther = java.lang.Long.bitCount(h0 ^ Multimodal.aHash64(noiseImage(48, 36, 2)))
+    assert(dOther > 12, s"different content only $dOther bits away")
+  }
+
+  test("ahash candidate pairs: planted near-dup found, different content not merged") {
+    import spark.implicits._
+    val base = noiseImage(48, 36, 1)
+    val near = decode(pngBytes(base))
+    for (x <- 0 until 6; y <- 0 until 4) {
+      val rgb = near.getRGB(x, y)
+      def c(v: Int) = math.min(255, v + 32)
+      near.setRGB(x, y, (c((rgb >> 16) & 0xff) << 16) | (c((rgb >> 8) & 0xff) << 8) | c(rgb & 0xff))
+    }
+    val rows = Seq(
+      (1L, pngBytes(base)), (2L, pngBytes(near)),
+      (3L, pngBytes(noiseImage(48, 36, 2))), (4L, pngBytes(noiseImage(40, 30, 3))))
+      .toDF("doc_id", "content")
+    val pairs = Multimodal
+      .ahashCandidatePairs(Multimodal.imageAhash(spark, rows), maxHamming = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"planted near-dup missed: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      s"different content merged: ${pairs.toSeq}")
+  }
+
+  test("hamming-LSH recall guarantee: every <=3-bit flip collides in some band") {
+    import spark.implicits._
+    val h = 0x5a5a_c3c3_0f0f_9999L
+    // flip patterns spanning one, two and three bands, incl. band edges
+    val flips = Seq(
+      1L << 0, 1L << 15, 1L << 16, 1L << 63,
+      (1L << 3) | (1L << 40), (1L << 14) | (1L << 17),
+      (1L << 2) | (1L << 21) | (1L << 50), (1L << 15) | (1L << 16) | (1L << 63))
+    flips.zipWithIndex.foreach { case (f, i) =>
+      val hashes = Seq((100L, h), (200L, h ^ f)).toDF("doc_id", "ahash")
+      val got = Multimodal.ahashCandidatePairs(hashes, maxHamming = 3).collect()
+      assert(got.length === 1 && got.head.getInt(2) === java.lang.Long.bitCount(f),
+        s"flip pattern $i (${java.lang.Long.toHexString(f)}) not recalled")
+    }
+    // 4 flips spread one-per-band legitimately escape the candidate join
+    val spread = (1L << 1) | (1L << 17) | (1L << 33) | (1L << 49)
+    val none = Multimodal.ahashCandidatePairs(
+      Seq((100L, h), (200L, h ^ spread)).toDF("doc_id", "ahash"), maxHamming = 4).collect()
+    assert(none.isEmpty, "pigeonhole boundary: 4 one-per-band flips should not collide")
+  }
 }
