@@ -431,7 +431,12 @@ object Multimodal {
     * mean. ALL-INTEGER: grays sum per cell, and the threshold compares
     * sums(c)·Σcount against Σsum·count(c) (exact cross-multiplication —
     * no float division anywhere), so the hash is bit-stable across JVMs
-    * and re-runs by construction.
+    * and re-runs by construction. Images narrower than the 8×8 grid
+    * leave their unmapped cells at bit 0 (count 0 ⇒ 0 > 0 is false — the
+    * cross-multiply form needs no empty-cell guard); a 1×1 image hashes
+    * to 0, so degenerate thumbnails all collide — the right behavior for
+    * a dedup PRE-FILTER (the exact hamming confirm still separates them
+    * from nothing, and a real pipeline size-gates first).
     */
   def aHash64(img: java.awt.image.BufferedImage): Long = {
     val (w, h) = (img.getWidth, img.getHeight)
