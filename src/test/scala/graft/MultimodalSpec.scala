@@ -213,6 +213,57 @@ class MultimodalSpec extends AnyFunSuite {
       s"different content merged: ${pairs.toSeq}")
   }
 
+  /** Committed golden (doc_id, ahash) table — regenerate ONLY for a
+    * deliberate hash change via `runMain graft.tools.GoldenAhash`.
+    */
+  private def goldenAhash(sf: String): Map[Long, Long] = {
+    val in = getClass.getResourceAsStream(s"/golden/ahash_$sf.csv")
+    assert(in != null, s"missing golden resource for $sf")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().drop(1).map { l =>
+      val Array(id, h) = l.split(','); id.toLong -> h.toLong
+    }.toMap
+    finally src.close()
+  }
+
+  test("golden aHash tables: every corpus hash value equals the committed table (sf0.001/sf0.01/sf0.1)") {
+    // VERDICT r9 #1: image_ahash is the one registered query the driver's
+    // DuckDB oracle cannot verify (no SQL engine decodes PNG pixels), so the
+    // full output VALUE SET is pinned here instead — a JRE/ImageIO decoder
+    // drift now fails this committed test rather than passing rows-only.
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val golden = goldenAhash(sf)
+      val got = Multimodal
+        .imageAhash(spark, Multimodal.syntheticMedia(spark, s"/root/testdata/$sf", Some("image")))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got.size === golden.size, s"$sf cardinality: got ${got.size}, golden ${golden.size}")
+      val drifted = golden.collect { case (id, h) if got.get(id) != Some(h) => id }.toSeq.sorted
+      assert(drifted.isEmpty, s"$sf: ${drifted.size} hashes drifted from golden, e.g. doc_ids ${drifted.take(5)}")
+    }
+  }
+
+  test("registered image_ahash query: whole-corpus aggregate invariant and band derivation") {
+    // One-line invariants over the registered-query surface itself (bands
+    // included), so the driver-facing entry — not just the inner hash fn —
+    // is pinned. Constants derive from the committed golden tables.
+    val idx = Multimodal.imageAhashIndex(spark, Sf001)
+    // SUM(ahash) would overflow int64 (measured: the sf0.01 exact sum is
+    // 5.6e19), so the order-insensitive pair is BIT_XOR + SUM(bit_count) —
+    // both bounded, both drift-sensitive.
+    val agg = idx.agg(
+      count(lit(1)), expr("bit_xor(ahash)"), sum(expr("bit_count(ahash)")),
+      count(when(
+        col("band0") =!= col("ahash").bitwiseAND(lit(0xffffL)) ||
+        col("band3") =!= shiftright(col("ahash"), 48).bitwiseAND(lit(0xffffL)), 1))
+    ).head()
+    assert(agg.getLong(0) === 242L)
+    assert(agg.getLong(1) === -6595481047257861136L, "sf0.01 corpus BIT_XOR(ahash) drifted")
+    assert(agg.getLong(2) === 6739L, "sf0.01 corpus SUM(bit_count(ahash)) drifted")
+    assert(agg.getLong(3) === 0L, "band columns no longer derive from ahash")
+  }
+
   test("hamming-LSH recall guarantee: every <=3-bit flip collides in some band") {
     import spark.implicits._
     val h = 0x5a5a_c3c3_0f0f_9999L
