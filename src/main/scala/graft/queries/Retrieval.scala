@@ -256,11 +256,23 @@ object Retrieval {
     * All arithmetic is integer until the single final ratio division, so
     * both engines agree bit-for-bit without any fixed-point machinery.
     *
-    * Shape: one shingle explode (linear), a per-doc DISTINCT (doc-keyed
-    * shuffle), one shingle-keyed df aggregation (map-side combined)
-    * joined back onto the distinct stream, one doc-keyed count. The df
-    * join's hot keys (common shingles) are exactly the AQE-splittable
-    * stream side; nothing is all-pairs.
+    * Shape (round 10): the round-9 form shuffled the FULL shingle stream
+    * four times — distinct, dfreq, dfreq-join-back, final doc-keyed
+    * groupBy. The df aggregation now carries `min(doc_id)` alongside the
+    * count, so a df=1 shingle already KNOWS its one owner and the
+    * join-back (plus the full-stream groupBy above it) disappears: what
+    * remains is the distinct and the dfreq shuffle, then two map-side-
+    * combined per-doc aggregates (≤ #docs rows each) and a per-doc-sized
+    * join — deliberately NOT a forced broadcast: at corpus scale the
+    * novel side is #docs rows; AQE may still broadcast it when small.
+    * A local `array_distinct`-per-row variant (zero-shuffle dedup) was
+    * measured and REJECTED: ArrayDistinct on string arrays is quadratic
+    * per row (sf1 isolated 2.0 → 3.8 s, one 2.8 s map stage). A/B clean
+    * window, isolated ×2: sf1 2.01 → 1.86/1.95 s, sf3 4.33 → 3.04/2.79 s,
+    * e 0.70 → 0.45 — and the removed join-back was exactly the
+    * string-heavy stage the r9 degraded-window artifact punished into
+    * e = 1.18 (clean-window re-measure of the OLD plan was already 0.70;
+    * the artifact number was the host, the join-back was still waste).
     */
   def ngramNovelty(spark: SparkSession, sf: String): DataFrame = {
     // spreadSmallScan: same argument as bigramLmScore's — the shingle
@@ -272,14 +284,17 @@ object Retrieval {
         "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
         .as("sh"))
       .distinct()
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    sh.join(dfreq, Seq("sh"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
-      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = sh
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("only_doc"))
+      .where(col("df") === 1)
+      .groupBy(col("only_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles")).as("novelty"))
       .orderBy(col("doc_id"))
   }
 
