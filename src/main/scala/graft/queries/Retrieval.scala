@@ -314,10 +314,101 @@ object Retrieval {
       |FROM sh JOIN dfreq USING (sh)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------- ngram_novelty_probe (held-out screen)
+  /** Held-out n-gram novelty — the memorization-risk screen
+    * [[ngramNovelty]]'s scaladoc names, in the persisted-index probe
+    * regime the index families established (ann_ivf_probe, knn_lsh_probe,
+    * dedup_minhash_probe): the REFERENCE corpus (doc_id % 10 <> 0,
+    * standing in for the training set) has its distinct-shingle set built
+    * and persisted ONCE per (sf, source fingerprint) via
+    * [[graft.ops.IndexStore]]; each probe document (doc_id % 10 = 0, the
+    * held-out split) is scored as the share of its distinct 3-gram
+    * shingles occurring NOWHERE in the reference. A low-novelty probe doc
+    * overlaps training text — the eval-set screen run before trusting a
+    * benchmark number. This is the incremental shape at 100 TB: the
+    * reference index is computed once per corpus version (one
+    * partial-agg distinct shuffle), and each evaluation batch scans it
+    * with a shingle-keyed left join — never re-shingling the corpus; the
+    * registered Bloom path (dedup_bloom_prefilter / BloomContains) is the
+    * drop-in prefilter when the probe batch is tiny relative to the index.
+    *
+    * Probe-side plan: shingle dedup is within-doc, so it happens PER ROW
+    * (array_distinct before the Generate — the quadratic-in-doc-length
+    * HOF that lost the [[ngramNovelty]] full-corpus A/B is paid on a
+    * tenth of the stream here and buys a zero-exchange path to the join,
+    * the same trade contaminationCheck measured); n_shingles falls out of
+    * the final count. The left join is against a DISTINCT index, so no
+    * row multiplication.
+    */
+  def ngramNoveltyProbe(spark: SparkSession, sf: String): DataFrame = {
+    val dir = shingleIndexDir(sf)
+    val resolved =
+      if (new java.io.File(s"$dir/shingles/_SUCCESS").exists()) dir
+      else buildShingleIndex(spark, sf)
+    val ref = spark.read.parquet(s"$resolved/shingles")
+      .select(col("sh"), lit(1).as("seen"))
+    val probe = Det.spreadSmallScan(spark, Tables.documents(spark, sf))
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), TextOps.tokensCol.as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
+        .as("sh"))
+    probe.join(ref, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unseen"),
+        (col("n_unseen").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Reference-corpus distinct-shingle index: one partial-agg distinct
+    * shuffle over the non-probe split, persisted as a single `sh` column.
+    */
+  def buildShingleIndex(spark: SparkSession, sf: String): String =
+    graft.ops.IndexStore.buildOnce(shingleIndexDir(sf), "shingles/_SUCCESS") { staging =>
+      Det.spreadSmallScan(spark, Tables.documents(spark, sf))
+        .where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), TextOps.tokensCol.as("t"))
+        .where(size(col("t")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+          .as("sh"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$staging/shingles")
+    }
+
+  /** v1: distinct reference shingles of the doc_id % 10 <> 0 split. */
+  private def shingleIndexDir(sf: String): String =
+    graft.ops.IndexStore.indexDir("graft_shset_v1", sf, Tables.path(sf, "documents"))
+
+  val ngramNoveltyProbeSql: String =
+    """WITH probe AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS sh
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |        WHERE doc_id % 10 = 0)
+      |  WHERE len(t) >= 3
+      |), ref AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+      |  FROM (SELECT string_split(lower(text), ' ') AS t FROM documents
+      |        WHERE doc_id % 10 <> 0)
+      |  WHERE len(t) >= 3
+      |)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN ref.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+      |  CAST(SUM(CASE WHEN ref.sh IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+      |FROM probe LEFT JOIN ref USING (sh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("bm25_topk", bm25Topk _, bm25TopkSql),
     ("source_kl_drift", sourceKlDrift _, sourceKlDriftSql),
     ("bigram_lm_score", bigramLmScore _, bigramLmScoreSql),
-    ("ngram_novelty", ngramNovelty _, ngramNoveltySql)
+    ("ngram_novelty", ngramNovelty _, ngramNoveltySql),
+    ("ngram_novelty_probe", ngramNoveltyProbe _, ngramNoveltyProbeSql)
   )
 }

@@ -153,6 +153,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "fixture has at least one novel shingle")
   }
 
+  test("ngram_novelty_probe: held-out unseen-share recomputes from raw shingle sets; index reused") {
+    def shingles(ts: Seq[String]): Set[String] =
+      if (ts.size < 3) Set.empty
+      else (0 to ts.size - 3).map(i => s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}").toSet
+    val perDoc = tokenized.map { case (id, _, ts) => id -> shingles(ts) }.filter(_._2.nonEmpty)
+    val refSet = perDoc.filter(_._1 % 10 != 0).flatMap(_._2).toSet
+    val expected = perDoc.filter(_._1 % 10 == 0).map { case (id, sh) =>
+      id -> (sh.size.toLong, sh.count(s => !refSet.contains(s)).toLong)
+    }.toMap
+    val got = Retrieval.ngramNoveltyProbe(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet === expected.keySet)
+    got.foreach { case (id, nSh, nUnseen, novelty) =>
+      val (eSh, eUnseen) = expected(id)
+      assert(nSh === eSh, s"doc $id n_shingles")
+      assert(nUnseen === eUnseen, s"doc $id n_unseen")
+      assert(novelty === eUnseen.toDouble / eSh)
+    }
+    // the screen is non-trivial on the fixture: both seen and unseen mass exist
+    assert(got.exists(_._3 > 0) && got.exists(g => g._3 < g._2), "fixture spans seen+unseen")
+    // second invocation hits the persisted index (IndexStore fingerprint dir)
+    // and returns identical rows — the probe regime's defining property
+    val again = Retrieval.ngramNoveltyProbe(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("cluster_topics: shape invariants and exact recompute from the persisted IVF assignment") {
     import graft.queries.Vectors
     val got = Vectors.clusterTopics(spark, Sf0001).collect()
