@@ -708,6 +708,14 @@ object TextOps {
         "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
         .as("bg"))
       .distinct()
+      // n_bg as a doc-keyed window, NOT a pair-level attach (round-10 A/B):
+      // moving the per-doc totals to inner joins on the aggregated pair
+      // stream (the shape the hot-set attach uses) was measured and
+      // REJECTED — sf3 isolated 9.2 → 11.4-12.5 s (sf1 neutral): the
+      // candidate-pair stream is large enough that sort-merge-attaching
+      // per-doc tables to it twice costs more than this one window sort
+      // of the bigram stream. doc_id is the high-cardinality safe window
+      // key (contrast the df note below).
       .withColumn("n_bg", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // df via groupBy + join-back, not a window over bg: the groupBy gets
     // map-side partial aggregation (bounded state for hot bigrams); a
