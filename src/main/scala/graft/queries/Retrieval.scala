@@ -347,13 +347,9 @@ object Retrieval {
       else buildShingleIndex(spark, sf)
     val ref = spark.read.parquet(s"$resolved/shingles")
       .select(col("sh"), lit(1).as("seen"))
-    val probe = Det.spreadSmallScan(spark, Tables.documents(spark, sf))
-      .where(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), TextOps.tokensCol.as("t"))
-      .where(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
-        .as("sh"))
+    val probe = TextOps.distinctShinglesPerRow(
+      Det.spreadSmallScan(spark, Tables.documents(spark, sf))
+        .where(col("doc_id") % 10 === 0))
     probe.join(ref, Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(

@@ -179,6 +179,24 @@ object TextOps {
     * results match exactly; the band join keeps candidate generation
     * linear-ish in corpus size — the designed 100 TB path.
     */
+  /** Per-row-distinct 3-gram shingle stream (doc_id, sh) over a
+    * (doc_id, …, text) frame — the shared shingle definition of the
+    * held-out novelty screen ([[graft.queries.Retrieval.ngramNoveltyProbe]]'s
+    * probe side) and its streaming twin
+    * ([[graft.streaming.StreamOps.noveltyScreenStream]]). Dedup happens
+    * PER ROW (array_distinct before the Generate): quadratic in doc
+    * length but zero-exchange — the right trade for the slice-sized
+    * inputs these screens run on (measured in the ngramNovelty A/B:
+    * wrong for a full-corpus pass, right for a probe split).
+    */
+  def distinctShinglesPerRow(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokensCol.as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
+        .as("sh"))
+
   /** Unordered MinHash-LSH candidate pairs — the shared pair source for
     * [[dedupMinhashLsh]] (which adds the contract ORDER BY) and
     * [[dedupClusters]] (which consumes pairs as graph edges).

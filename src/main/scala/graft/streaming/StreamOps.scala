@@ -346,6 +346,51 @@ object StreamOps {
       .toDF("doc_a", "doc_b", "band")
   }
 
+  // --------------------------------------- streaming novelty screen twin
+  /** Continuous n-gram novelty screening — the streaming twin of
+    * [[graft.queries.Retrieval.ngramNoveltyProbe]]'s held-out
+    * memorization screen: documents stream in, and each of a document's
+    * distinct 3-gram shingles (per-row dedup, the shared
+    * [[graft.queries.TextOps.distinctShinglesPerRow]] definition) is
+    * emitted with an `unseen` verdict — true iff NO document in any
+    * EARLIER micro-batch contained that shingle. Per-doc novelty (the
+    * unseen share) is one ordinary aggregation over this verdict stream,
+    * downstream — the operator's contract is the per-shingle verdict,
+    * exactly as [[minhashDedupStream]]'s is the candidate pair, not the
+    * cluster.
+    *
+    * Semantics are PRE-BATCH deliberately: every row of a micro-batch is
+    * judged against the state as of the batch's start (the whole group's
+    * rows share one verdict, then the shingle is marked), so the output
+    * is deterministic regardless of row order inside the group iterator —
+    * two docs introducing the same shingle in the same batch BOTH score
+    * it unseen, matching the batch twin "reference = strictly earlier
+    * batches" (StreamingSpec pins the equivalence across batch splits).
+    *
+    * Scale posture: state is one boolean per DISTINCT shingle — the same
+    * unbounded-key caveat [[lineBoilerMaintain]] documents; a production
+    * horizon adds a state TTL, or trades exactness for the
+    * [[bloomDedup]] sharded-sketch pattern (probe-negative ⇒ genuinely
+    * unseen, no false "novel" verdicts ever — Bloom's one-sided error
+    * points the safe way for a contamination screen).
+    */
+  def noveltyScreenStream(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    graft.queries.TextOps.distinctShinglesPerRow(docs)
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sh: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          val seenBefore = state.getOption.getOrElse(false)
+          val out = rows.map { case (doc, _) => (doc, sh, !seenBefore) }.toList
+          state.update(true)
+          out.iterator
+      }
+      .toDF("doc_id", "sh", "unseen")
+  }
+
   // ------------------------------------------- §2.J5′ bloom-state dedup
   /** Streaming dedup with BOUNDED state for an UNBOUNDED key space — the
     * production pattern when `dropDuplicates` can't hold every key:

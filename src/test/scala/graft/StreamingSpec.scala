@@ -456,6 +456,53 @@ class StreamingSpec extends AnyFunSuite {
       "chunking must split at least one candidate pair across micro-batches")
   }
 
+  test("streaming novelty screen: verdicts == strictly-earlier-batch reference, across micro-batches") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps
+      .noveltyScreenStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("novstream").start()
+    val chunks = docs.grouped(170).toSeq
+    try {
+      chunks.foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("novstream")
+      .as[(Long, String, Boolean)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // expected: shingle unseen for doc d in batch k iff absent from batches 0..k-1
+    def shingles(text: String): Set[String] = {
+      val ts = text.toLowerCase.split(" ", -1).toSeq
+      if (ts.size < 3) Set.empty
+      else (0 to ts.size - 3).map(i => s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}").toSet
+    }
+    val expected = scala.collection.mutable.Map.empty[(Long, String), Boolean]
+    val seen = scala.collection.mutable.Set.empty[String]
+    chunks.foreach { chunk =>
+      val perDoc = chunk.map { case (id, text) => id -> shingles(text) }
+      perDoc.foreach { case (id, shs) =>
+        shs.foreach(sh => expected((id, sh)) = !seen.contains(sh))
+      }
+      perDoc.foreach { case (_, shs) => seen ++= shs } // mark AFTER the whole batch
+    }
+    assert(got.size === expected.size)
+    val wrong = expected.collect { case (k, v) if got.get(k) != Some(v) => k }
+    assert(wrong.isEmpty, s"${wrong.size} verdicts differ, e.g. ${wrong.take(3)}")
+    // non-trivial both ways, and at least one shingle transitions
+    // unseen→seen ACROSS a batch boundary (the cross-batch state proof)
+    assert(expected.values.exists(identity) && expected.values.exists(!_))
+    val batchOf = docs.map(_._1).zipWithIndex.map { case (id, i) => id -> i / 170 }.toMap
+    val firstBatchIntro = expected.collect { case ((d, sh), true) => sh -> batchOf(d) }
+    val laterSeen = expected.collect { case ((d, sh), false) => sh -> batchOf(d) }
+    assert(laterSeen.exists { case (sh, b) =>
+      firstBatchIntro.exists { case (s2, b2) => s2 == sh && b2 < b }
+    }, "at least one shingle must be introduced in one batch and re-judged seen in a later one")
+  }
+
   test("L' streaming MinHash-LSH: bucket state survives a checkpointed restart") {
     // The production recovery property: a near-duplicate whose first copy
     // arrived BEFORE a query restart is still caught when the second copy
