@@ -539,6 +539,41 @@ class StreamingSpec extends AnyFunSuite {
       "the unrelated doc must pair with nothing")
   }
 
+  test("streaming novelty screen: shingle state survives a checkpointed restart") {
+    // Recovery property: a shingle introduced BEFORE a query restart must
+    // still be judged seen when it reappears AFTER it — the per-shingle
+    // boolean is restored from the checkpointed state store. foreachBatch
+    // sink because the memory sink does not participate in recovery.
+    val ckdir = Files.createTempDirectory("graft-ckpt-nov").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val sinkRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Boolean)]
+    def startQ() = StreamOps
+      .noveltyScreenStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckdir)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+        sinkRows.synchronized { sinkRows ++= rows }
+        ()
+      }
+      .start()
+    val q1 = startQ()
+    try {
+      input.addData(Seq((1L, "alpha beta gamma delta")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    input.addData(Seq((2L, "alpha beta gamma epsilon")))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = sinkRows.synchronized(sinkRows.toList)
+    // doc 1: both its shingles unseen; doc 2: "alpha beta gamma" was
+    // introduced pre-restart so it must be judged SEEN post-restart,
+    // while "beta gamma epsilon" is genuinely new
+    assert(rows.toSet === Set(
+      (1L, "alpha beta gamma", true), (1L, "beta gamma delta", true),
+      (2L, "alpha beta gamma", false), (2L, "beta gamma epsilon", true)), rows.toString)
+  }
+
   test("L' streaming MinHash-LSH: bucket cap bounds a hot bucket's state and output") {
     // 6 identical docs collide in the same bucket in all 4 bands. With
     // bucketCap=2 the bucket stores docs 1,2 only; every later arrival
