@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomContains, MinGramMd5, NfcNormalize, VecDot}
+import graft.functions.{BloomContains, DistinctNgrams, MinGramMd5, NfcNormalize, VecDot}
 
 /** Session extension (SURVEY §2.K4 surface): registers the library's native
   * functions into the SQL function registry, so the raw-SQL surface
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
     ext.injectFunction(GraftExtensions.minGramMd5Descriptor)
+    ext.injectFunction(GraftExtensions.distinctNgramsDescriptor)
   }
 }
 
@@ -133,6 +134,36 @@ object GraftExtensions {
       case other => wrongNumArgs("min_gram_md5", 2, other.size)
     })
 
+  val distinctNgramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("distinct_ngrams"),
+    new ExpressionInfo(
+      classOf[DistinctNgrams].getCanonicalName,
+      null,
+      "distinct_ngrams",
+      "distinct_ngrams(t, n) - distinct space-joined word n-grams of a string array, " +
+        "first-occurrence order (n a positive integer literal); empty when t has fewer than n elements",
+      ""),
+    {
+      // same foldable-integral-literal contract as min_gram_md5's n
+      case Seq(t, n) if n.foldable =>
+        n.eval() match {
+          case d: org.apache.spark.sql.types.Decimal
+              if d.toBigDecimal.isWhole && d.toBigDecimal >= 1 &&
+                d.toBigDecimal <= Int.MaxValue =>
+            DistinctNgrams(t, d.toBigDecimal.toIntExact)
+          case num: java.lang.Number
+              if num.longValue().toDouble == num.doubleValue() &&
+                num.longValue() >= 1L && num.longValue() <= Int.MaxValue.toLong =>
+            DistinctNgrams(t, num.intValue())
+          case other =>
+            invalidParam("distinct_ngrams", "n",
+              s"expects a positive integer literal, but got ${if (other == null) "NULL" else other.toString}")
+        }
+      case Seq(_, _) =>
+        invalidParam("distinct_ngrams", "n", "expects a foldable positive integer literal")
+      case other => wrongNumArgs("distinct_ngrams", 2, other.size)
+    })
+
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -143,5 +174,7 @@ object GraftExtensions {
       bloomContainsDescriptor._1, bloomContainsDescriptor._2, bloomContainsDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       minGramMd5Descriptor._1, minGramMd5Descriptor._2, minGramMd5Descriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      distinctNgramsDescriptor._1, distinctNgramsDescriptor._2, distinctNgramsDescriptor._3)
   }
 }

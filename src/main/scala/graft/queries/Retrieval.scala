@@ -256,36 +256,39 @@ object Retrieval {
     * All arithmetic is integer until the single final ratio division, so
     * both engines agree bit-for-bit without any fixed-point machinery.
     *
-    * Shape (round 10): the round-9 form shuffled the FULL shingle stream
-    * four times — distinct, dfreq, dfreq-join-back, final doc-keyed
-    * groupBy. The df aggregation now carries `min(doc_id)` alongside the
-    * count, so a df=1 shingle already KNOWS its one owner and the
-    * join-back (plus the full-stream groupBy above it) disappears: what
-    * remains is the distinct and the dfreq shuffle, then two map-side-
-    * combined per-doc aggregates (≤ #docs rows each) and a per-doc-sized
-    * join — deliberately NOT a forced broadcast: at corpus scale the
-    * novel side is #docs rows; AQE may still broadcast it when small.
-    * A local `array_distinct`-per-row variant (zero-shuffle dedup) was
-    * measured and REJECTED: ArrayDistinct on string arrays is quadratic
-    * per row (sf1 isolated 2.0 → 3.8 s, one 2.8 s map stage). A/B clean
-    * window, isolated ×2: sf1 2.01 → 1.86/1.95 s, sf3 4.33 → 3.04/2.79 s,
-    * e 0.70 → 0.45 — and the removed join-back was exactly the
+    * Shape (round 10, two steps): the round-9 form shuffled the FULL
+    * shingle stream four times — distinct, dfreq, dfreq-join-back, final
+    * doc-keyed groupBy. Step 1: the df aggregation carries `min(doc_id)`
+    * alongside the count, so a df=1 shingle already KNOWS its one owner
+    * and the join-back (plus the full-stream groupBy above it)
+    * disappears (isolated ×2: sf1 2.01 → 1.86/1.95 s, sf3 4.33 →
+    * 3.04/2.79 s — and the removed join-back was exactly the
     * string-heavy stage the r9 degraded-window artifact punished into
-    * e = 1.18 (clean-window re-measure of the OLD plan was already 0.70;
-    * the artifact number was the host, the join-back was still waste).
+    * e = 1.18; the clean-window re-measure of the OLD plan was already
+    * 0.70). Step 2: the per-doc distinct moves INTO the row via the
+    * codegen [[graft.functions.DistinctNgrams]] hash-set expression —
+    * n_shingles is just the array's size, and ONE full-stream shuffle
+    * remains (the dfreq aggregate). A first zero-shuffle attempt with
+    * array_distinct(transform(...)) had been measured and REJECTED
+    * (ArrayDistinct is quadratic per row on string arrays: sf1 3.8 s,
+    * one 2.8 s map stage); the O(tokens) expression retires that term:
+    * isolated ×2, sf1 1.86 → 0.95/1.07 s, sf3 3.04 → 1.37/1.60 s
+    * (4× the round-9 plan at sf1, e ≈ 0.4). The per-doc novel-count
+    * attach stays a plain join — deliberately NOT a forced broadcast: at
+    * corpus scale the novel side is #docs rows; AQE may still broadcast
+    * it when small.
     */
   def ngramNovelty(spark: SparkSession, sf: String): DataFrame = {
     // spreadSmallScan: same argument as bigramLmScore's — the shingle
     // explode is the heavy pre-shuffle pass.
-    val sh = Det.spreadSmallScan(spark, Tables.documents(spark, sf))
+    val docs = Det.spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(col("doc_id"), TextOps.tokensCol.as("t"))
       .where(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
-        .as("sh"))
-      .distinct()
-    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val novel = sh
+      .select(col("doc_id"),
+        graft.functions.DistinctNgrams.distinct_ngrams(col("t"), 3).as("shs"))
+    val perDoc = docs.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+    val novel = docs
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("only_doc"))
       .where(col("df") === 1)
@@ -365,13 +368,12 @@ object Retrieval {
     */
   def buildShingleIndex(spark: SparkSession, sf: String): String =
     graft.ops.IndexStore.buildOnce(shingleIndexDir(sf), "shingles/_SUCCESS") { staging =>
-      Det.spreadSmallScan(spark, Tables.documents(spark, sf))
-        .where(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id"), TextOps.tokensCol.as("t"))
-        .where(size(col("t")) >= 3)
-        .select(explode(expr(
-          "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
-          .as("sh"))
+      // per-row pre-dedup (codegen DistinctNgrams) shrinks the exploded
+      // stream before the global distinct's partial aggregate
+      TextOps.distinctShinglesPerRow(
+        Det.spreadSmallScan(spark, Tables.documents(spark, sf))
+          .where(col("doc_id") % 10 =!= 0))
+        .select(col("sh"))
         .distinct()
         .write.mode("overwrite").parquet(s"$staging/shingles")
     }

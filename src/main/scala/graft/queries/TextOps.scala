@@ -184,18 +184,18 @@ object TextOps {
     * held-out novelty screen ([[graft.queries.Retrieval.ngramNoveltyProbe]]'s
     * probe side) and its streaming twin
     * ([[graft.streaming.StreamOps.noveltyScreenStream]]). Dedup happens
-    * PER ROW (array_distinct before the Generate): quadratic in doc
-    * length but zero-exchange — the right trade for the slice-sized
-    * inputs these screens run on (measured in the ngramNovelty A/B:
-    * wrong for a full-corpus pass, right for a probe split).
+    * PER ROW before the Generate — zero-exchange — via the codegen
+    * [[graft.functions.DistinctNgrams]] hash-set expression (O(tokens);
+    * the composed array_distinct(transform(...)) it replaces is quadratic
+    * per row on string arrays, the measured loss of the round-10
+    * ngramNovelty A/B; bit-identity pinned in RegistryLintSpec).
     */
   def distinctShinglesPerRow(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokensCol.as("t"))
       .where(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
-        .as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.DistinctNgrams.distinct_ngrams(col("t"), 3)).as("sh"))
 
   /** Unordered MinHash-LSH candidate pairs — the shared pair source for
     * [[dedupMinhashLsh]] (which adds the contract ORDER BY) and
@@ -705,12 +705,20 @@ object TextOps {
     * (pinned by TextOpsAltSpec alongside a candidate-count bound).
     */
   def dedupNgramJaccard(spark: SparkSession, sf: String): DataFrame = {
-    // Formulation notes (both measured at sf0.1, warm):
-    //  - a per-row array_distinct(transform(...)) variant — zero shuffles
-    //    before the join — ran 2–3x SLOWER than this explode+distinct form
-    //    (4.4 s vs 1.9 s): nested-lambda HOFs are interpreted per element,
-    //    while Generate + hash-distinct + window are codegen'd. Same
-    //    lesson as dedupMinhashPerRow (TextOps scaladoc there).
+    // Formulation notes (each measured, warm):
+    //  - bigram dedup is within-doc, so it now happens PER ROW via the
+    //    codegen [[graft.functions.DistinctNgrams]] hash-set expression
+    //    (round 10): no distinct() shuffle, no doc-keyed window sort for
+    //    n_bg (it is the array's size). The ORIGINAL per-row attempt —
+    //    array_distinct(transform(...)) — had been measured 2-3× SLOWER
+    //    than explode+distinct+window (4.4 s vs 1.9 s at sf0.1): the
+    //    interpreted nested-lambda HOF plus ArrayDistinct's quadratic
+    //    string path. The custom expression removes both costs; A/B vs
+    //    the distinct+window form, isolated ×2: sf1 16.0-16.4 →
+    //    13.5-14.3 s, sf3 9.2-9.3 → 6.5-7.9 s, identical output. (A
+    //    pair-level n_bg attach keeping the distinct had separately been
+    //    measured and REJECTED: sf3 9.2 → 11.4-12.5 s — the pair stream
+    //    is too large to sort-merge per-doc tables onto twice.)
     //  - a "re-intersect the FULL bigram-set arrays per candidate pair"
     //    variant was 10x slower (16-24 s vs ~2 s): every candidate paid an
     //    interpreted array_intersect over ~150-element arrays. Hence the
@@ -722,19 +730,10 @@ object TextOps {
       .documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("t"))
       .where(size(col("t")) >= 2)
-      .select(col("doc_id"), col("lang"), col("source"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
-        .as("bg"))
-      .distinct()
-      // n_bg as a doc-keyed window, NOT a pair-level attach (round-10 A/B):
-      // moving the per-doc totals to inner joins on the aggregated pair
-      // stream (the shape the hot-set attach uses) was measured and
-      // REJECTED — sf3 isolated 9.2 → 11.4-12.5 s (sf1 neutral): the
-      // candidate-pair stream is large enough that sort-merge-attaching
-      // per-doc tables to it twice costs more than this one window sort
-      // of the bigram stream. doc_id is the high-cardinality safe window
-      // key (contrast the df note below).
-      .withColumn("n_bg", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.DistinctNgrams.distinct_ngrams(col("t"), 2).as("bgs"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("bgs")).cast("long").as("n_bg"), explode(col("bgs")).as("bg"))
     // df via groupBy + join-back, not a window over bg: the groupBy gets
     // map-side partial aggregation (bounded state for hot bigrams); a
     // window partition over a hot bigram would land every row on one

@@ -176,6 +176,44 @@ class RegistryLintSpec extends AnyFunSuite {
     }
   }
 
+  test("DistinctNgrams codegen expression equals array_distinct(transform(...)) element for element") {
+    // the composed form it replaces is quadratic per row on string arrays
+    // (ArrayDistinct's hash fast path covers primitives only) — semantics
+    // including element ORDER (first occurrence) must be identical
+    val composed = expr(
+      "array_distinct(transform(sequence(1, size(t) - 2), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))")
+    val diff = Tables.documents(spark, Sf0001)
+      .select(split(lower(col("text")), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(
+        graft.functions.DistinctNgrams.distinct_ngrams(col("t"), 3).as("native"),
+        composed.as("composed"))
+      .where(not(col("native") <=> col("composed")))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("DistinctNgrams edge semantics: short arrays, null tokens, n=1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")),      // dups: distinct grams in first-occurrence order
+      (2L, Seq("x", "y")),                      // < n -> empty
+      (3L, Seq[String]("a", null, "b", "a", "x", "b")) // null token -> one null gram, kept at first occurrence
+    ).toDF("id", "t")
+    val got = df.select(col("id"), graft.functions.DistinctNgrams.distinct_ngrams(col("t"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("a b a", "b a b"))
+    assert(got(2L) === Seq.empty)
+    // windows: (a,null,b)->null (a,null,b? no: (null,b,a)->null dedup) , (b,a,x), (a,x,b)
+    assert(got(3L) === Seq(null, "b a x", "a x b"))
+    // n=1 degenerates to array_distinct
+    val one = df.where(col("id") === 1L)
+      .select(graft.functions.DistinctNgrams.distinct_ngrams(col("t"), 1).as("g"))
+      .head().getSeq[String](0)
+    assert(one === Seq("a", "b"))
+  }
+
   test("min_gram_md5 registers into the SQL surface, matching the Column API") {
     GraftExtensions.register(spark)
     val df = Tables.documents(spark, Sf0001).limit(50)
