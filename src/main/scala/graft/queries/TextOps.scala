@@ -808,6 +808,136 @@ object TextOps {
       |WHERE CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------- north star: exact-substring dedup
+  /** Exact-substring dedup granularity: a document is a duplicate when it
+    * shares a verbatim run of ≥ this many tokens with a lower-id document —
+    * the 50-token granularity of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 §4.1).
+    */
+  private[graft] val SubstrRunLen = 50
+
+  /** Seed k-gram width for the candidate index (§ see [[dedupExactSubstring]]).
+    * With stride = RunLen − SeedLen + 1 = 43, any ≥50-token shared run is
+    * guaranteed to cover at least one stride-aligned seed start — the
+    * classic q-gram partition argument: among 43 consecutive start
+    * positions exactly one is ≡ 0 (mod 43).
+    */
+  private[graft] val SubstrSeedLen = 8
+
+  /** Gram stream: md5 of the `width`-token window at every `step`-th start
+    * position per doc (1-based starts 1, 1+step, …; docs shorter than
+    * [[SubstrRunLen]] cannot hold a qualifying run and are pruned before
+    * the Generate). The stride lives INSIDE the sequence(), so the sampled
+    * index side generates and hashes only its 1-in-43 windows instead of
+    * filtering a full gram stream (43× less Generate+md5 work — the
+    * corpus-dominant cost of the candidate stage). The md5 sits OUTSIDE
+    * the lambda — a codegen'd top-level projection over the generated
+    * rows, not an interpreted per-element closure (the DistinctNgrams
+    * lesson).
+    */
+  private def tokenWindows(docs: DataFrame, width: Int, step: Int = 1): DataFrame =
+    docs
+      .select(col("doc_id"), tokensCol.as("t"))
+      .where(size(col("t")) >= SubstrRunLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - $width + 1, $step), i -> array_join(slice(t, i, $width), ' '))")).as("g"))
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("h"))
+
+  /** Exact-substring dedup core over an arbitrary (doc_id, text) frame —
+    * shared by the registered query and TextOpsAltSpec's planted-run
+    * recomputes. Output: one row per REMOVED document
+    * (doc_id, dup_of = lowest-id partner sharing a ≥[[SubstrRunLen]]-token
+    * verbatim run, n_shared_grams = distinct shared 50-token windows with
+    * that partner), ordered by doc_id.
+    *
+    * Two-stage plan — the suffix-array-free Spark shape of Lee et al.'s
+    * detector:
+    *
+    *  1. CANDIDATES (corpus-wide, sampled): seed 8-gram md5s at EVERY
+    *     position on the probe side join seed md5s at stride-43-aligned
+    *     positions only on the index side. The partition argument above
+    *     makes this complete (every true ≥50-run produces ≥1 match), while
+    *     the index side carries ~1/43 of the corpus' grams — at 100 TB the
+    *     index is the small build side and the probe stream never holds
+    *     more than (tokens × 8-gram hash) rows. False-positive candidates
+    *     (shared 8-gram, no 50-run) are dropped by stage 2.
+    *  2. CONFIRM (candidate docs only): re-derive distinct 50-token-window
+    *     md5s for JUST the candidate pairs' documents (left-semi prune,
+    *     broadcast — the candidate set is pair-bounded, tiny next to the
+    *     corpus) and equi-join per pair; sharing a 50-gram IS sharing a
+    *     ≥50-token run, so the confirm is exact, not a heuristic extension
+    *     scan. Confirmed pairs then reduce to the keep-lowest-doc_id
+    *     survivor rule.
+    *
+    * Scale caveat, stated honestly (same posture as [[JaccardDfCap]]): a
+    * boilerplate seed 8-gram shared by k docs emits k·k/43 candidate rows.
+    * On web corpora the production mitigation is a df-cap on the INDEX
+    * buckets with capped seeds re-probed at a coarser stride — not needed
+    * here (max seed-bucket df = 4 at sf0.1) and deliberately not layered in,
+    * because unlike Jaccard's threshold the substring rule has no slack: an
+    * exactness-preserving cap does not exist, only a documented policy cut.
+    */
+  def exactSubstringDedup(docs: DataFrame): DataFrame = {
+    val stride = SubstrRunLen - SubstrSeedLen + 1 // 43
+    // probe: every seed start; index: stride-aligned starts only (1, 44, 87 …)
+    val seeds = tokenWindows(docs, SubstrSeedLen)
+    val index = tokenWindows(docs, SubstrSeedLen, stride)
+    val candidates = seeds.select(col("doc_id").as("p_doc"), col("h"))
+      .join(index.select(col("doc_id").as("i_doc"), col("h")), Seq("h"))
+      .where(col("p_doc") =!= col("i_doc"))
+      .select(
+        least(col("p_doc"), col("i_doc")).as("doc_a"),
+        greatest(col("p_doc"), col("i_doc")).as("doc_b"))
+      .distinct()
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    // 50-gram windows for candidate docs only; distinct per doc so the
+    // per-pair join counts distinct shared windows directly
+    val grams = tokenWindows(docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
+        SubstrRunLen)
+      .select(col("doc_id"), col("h")).distinct()
+    val confirmed = candidates
+      .join(grams.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    confirmed
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("doc_b")).orderBy(col("doc_a"))))
+      .where(col("rn") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"), col("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registered form of [[exactSubstringDedup]] over the documents table. */
+  def dedupExactSubstring(spark: SparkSession, sf: String): DataFrame =
+    exactSubstringDedup(Tables.documents(spark, sf))
+
+  /** Oracle: the naive all-50-grams form (complete by construction — no
+    * sampling), so the Spark side's seed-sampling completeness argument is
+    * itself cross-checked, not assumed. md5 on both engines per the module
+    * portability rule.
+    */
+  val dedupExactSubstringSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), lt AS (
+      |  SELECT * FROM toks WHERE len(t) >= $SubstrRunLen
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+${SubstrRunLen - 1}], ' ')) AS h
+      |  FROM lt, LATERAL unnest(range(1, len(t) - ${SubstrRunLen - 2})) AS u(i)
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_grams
+      |  FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_b AS doc_id, doc_a AS dup_of, n_shared_grams FROM (
+      |  SELECT doc_a, doc_b, n_shared_grams,
+      |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
+      |  FROM pairs
+      |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- north star: language ID
   /** Stopword-profile language ID: hit counts against per-language stopword
     * sets, argmax with a deterministic tie cascade.
@@ -1013,6 +1143,7 @@ object TextOps {
     ("dedup_clusters_fixpoint", dedupClustersFixpoint _, dedupClustersFixpointSql),
     ("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     ("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
+    ("dedup_exact_substring", dedupExactSubstring _, dedupExactSubstringSql),
     ("lang_id", langId _, langIdSql),
     ("token_count", tokenCount _, tokenCountSql),
     ("text_quality_score", textQualityScore _, textQualityScoreSql),

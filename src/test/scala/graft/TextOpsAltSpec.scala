@@ -161,4 +161,96 @@ class TextOpsAltSpec extends AnyFunSuite {
     // 17 bigrams each (9 boiler + 8 tail), 16 shared → 16/18
     assert(math.abs(jac - 16.0 / 18.0) < 1e-12, s"jaccard=$jac")
   }
+
+  /** Naive complete reference for [[TextOps.exactSubstringDedup]]: ALL
+    * 50-gram md5s per doc (no seed sampling, no candidate stage) — the
+    * oracle's plan, rebuilt in Spark so planted corpora (never written to
+    * the oracle tables) get the same complete-by-construction recompute.
+    */
+  private def naiveExactSubstring(docs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.TextOps
+    val L = TextOps.SubstrRunLen
+    val grams = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .where(size(col("t")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - $L + 1), i -> md5(cast(array_join(slice(t, i, $L), ' ') as binary)))")).as("h"))
+      .distinct()
+    grams.select(col("doc_id").as("doc_a"), col("h"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("doc_b")).orderBy(col("doc_a"))))
+      .where(col("rn") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"), col("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  test("exact-substring dedup: sampled-seed plan == naive all-50-grams plan on the corpus") {
+    import graft.queries.TextOps
+    Seq(Sf0001, Sf001).foreach { sf =>
+      val naive = naiveExactSubstring(Tables.documents(spark, sf)).collect().toSeq
+      val got = TextOps.dedupExactSubstring(spark, sf).collect().toSeq
+      assert(got === naive, s"sf=$sf")
+      assert(got.nonEmpty, s"sf=$sf planted no duplicates — test has no power")
+    }
+  }
+
+  test("exact-substring dedup: planted-run boundaries, survivor rule, seed-sampling coverage") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    // Unique filler so no accidental runs: doc d's filler token j = f{d}_{j}.
+    def fill(d: Int, n: Int, from: Int = 0): Seq[String] =
+      (from until from + n).map(j => s"f${d}_$j")
+    val run50 = (0 until 50).map(i => s"r$i")   // the planted 50-token run
+    val run49 = run50.take(49)
+    val runY = (0 until 50).map(i => s"y$i")    // a second, disjoint run
+    def doc(id: Long, toks: Seq[String]) = (id, toks.mkString(" "))
+    val docs = Seq(
+      // pair (1,2): run at offset 31 in doc 1 (1-based), offset 8 in doc 2 —
+      // neither doc's sampled index positions {1,44,87} coincide with the
+      // run START; the partition argument (one aligned seed somewhere inside
+      // the 43-wide seed window) is what must cover it.
+      doc(1L, fill(1, 30) ++ run50 ++ fill(1, 20, 30)),
+      doc(2L, fill(2, 7) ++ run50 ++ runY),
+      // doc 3: only a 49-token overlap with the run family — below the
+      // granularity, must NOT be flagged
+      doc(3L, fill(3, 10) ++ run49 ++ fill(3, 10, 10)),
+      // chain: doc 4 shares runY with doc 2 only — the Lee et al. rule is
+      // PAIRWISE, so 4's dup_of is its own lowest partner 2, never the
+      // transitive 1 (cluster closure is dedup_clusters' job, not this one's)
+      doc(4L, runY ++ fill(4, 12)),
+      // exact whole-doc duplicate pair of length exactly 50 → one shared gram
+      doc(6L, (0 until 50).map(i => s"w$i")),
+      doc(7L, (0 until 50).map(i => s"w$i")),
+      // identical 60-token docs: a 60-run shares 11 distinct 50-grams
+      doc(8L, (0 until 60).map(i => s"v$i")),
+      doc(9L, (0 until 60).map(i => s"v$i")),
+      // sub-granularity doc: 40 tokens, identical to doc 11's prefix, but
+      // too short to ever hold a 50-run → never flagged
+      doc(10L, (0 until 40).map(i => s"s$i")),
+      doc(11L, (0 until 40).map(i => s"s$i") ++ fill(11, 30)),
+      // run flush at the very END of both docs (last seed window edge)
+      doc(12L, fill(12, 37) ++ run50.map(t => s"e_$t")),
+      doc(13L, fill(13, 11) ++ run50.map(t => s"e_$t"))
+    ).toDF("doc_id", "text")
+    val got = TextOps.exactSubstringDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Seq(
+      (2L, 1L, 1L),    // one shared 50-gram (the planted run, exactly 50)
+      (4L, 2L, 1L),    // chain tail: lowest PAIRWISE partner, not transitive
+      (7L, 6L, 1L),    // whole-doc dup, length exactly 50
+      (9L, 8L, 11L),   // 60-token identical docs share 11 distinct 50-grams
+      (13L, 12L, 1L)   // run flush at end of both docs
+    )
+    assert(got === expected)
+    // cross-check with the naive complete plan on the same planted frame
+    val naive = naiveExactSubstring(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(naive === expected)
+  }
 }
