@@ -14,14 +14,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * Why a custom Expression (SURVEY §4.3 — only after a measured BENCH
   * need): the composed form
   * `array_distinct(transform(sequence(1, size(t)-n+1), i -> concat(...)))`
-  * is QUADRATIC per row on string arrays — Spark's ArrayDistinct has a
-  * hash fast path for atomic primitive types only; for strings it falls
-  * back to a pairwise-equality scan, so a 1 000-token document pays ~500k
-  * string comparisons. That quadratic term is exactly what lost the
-  * round-10 zero-shuffle ngram_novelty A/B (one 2.8 s map stage at sf1,
-  * BENCH_NOTES §17) and why dedup_ngram_jaccard paid a full-stream
-  * `distinct()` SHUFFLE for what is purely within-row dedup. This
-  * expression makes the per-row form O(total gram bytes): each window is
+  * runs INTERPRETED per element — the transform() lambda is a non-codegen
+  * closure and each window pays a per-element Invoke + concat through the
+  * interpreted eval path. (Attribution corrected round 11 after ADVICE
+  * r10 + a scaling profile, tools/ArrayDistinctProbe + BENCH_NOTES §20:
+  * ArrayDistinct itself is LINEAR on string arrays in Spark 4.1.2 — its
+  * interpreted eval takes the SQLOpenHashSet O(n) path for any element
+  * type with binary-equality semantics, strings included; the pairwise
+  * quadratic scan this scaladoc previously blamed applies only to types
+  * without proper equals. The measured r10 wins are real but come from
+  * deleting the interpreted-HOF term, not a quadratic dedup.) That
+  * interpreted per-element cost is what lost the round-10 zero-shuffle
+  * ngram_novelty A/B (one 2.8 s map stage at sf1, BENCH_NOTES §17) and
+  * why dedup_ngram_jaccard paid a full-stream `distinct()` SHUFFLE for
+  * what is purely within-row dedup. This expression makes the per-row
+  * form one codegen'd O(total gram bytes) pass: each window is
   * concatenated once and deduped through a LinkedHashSet.
   *
   * Semantics are IDENTICAL to the composed form, element for element:

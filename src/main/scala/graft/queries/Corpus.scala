@@ -141,10 +141,12 @@ object Corpus {
     // per-row dedup: shingle dedup is within-doc, so dedup before the
     // Generate — the corpus side reaches the broadcast join with ZERO
     // exchanges (scan → project → explode → join). Round 10: the
-    // interpreted array_distinct(transform(...)) HOF (quadratic on
-    // string arrays) is replaced by the codegen DistinctNgrams hash-set
-    // expression — same semantics (bit-identity in RegistryLintSpec),
-    // O(tokens) per row; isolated sf1 1.23 → 0.80 s.
+    // interpreted array_distinct(transform(...)) HOF (per-element
+    // interpreted lambda + concat Invoke — the costly term; ArrayDistinct
+    // itself is linear on strings, BENCH_NOTES §20) is replaced by the
+    // codegen DistinctNgrams hash-set expression — same semantics
+    // (bit-identity in RegistryLintSpec), one codegen'd O(tokens) pass
+    // per row; isolated sf1 1.23 → 0.80 s.
     val shingles = Tables
       .documents(spark, sf)
       .select(col("doc_id"), tokensCol.as("t"))

@@ -270,8 +270,9 @@ object Retrieval {
     * n_shingles is just the array's size, and ONE full-stream shuffle
     * remains (the dfreq aggregate). A first zero-shuffle attempt with
     * array_distinct(transform(...)) had been measured and REJECTED
-    * (ArrayDistinct is quadratic per row on string arrays: sf1 3.8 s,
-    * one 2.8 s map stage); the O(tokens) expression retires that term:
+    * (sf1 3.8 s, one 2.8 s map stage — the interpreted per-element
+    * transform() lambda + concat Invoke; ArrayDistinct itself is linear
+    * on strings, BENCH_NOTES §20); the codegen expression retires that term:
     * isolated ×2, sf1 1.86 → 0.95/1.07 s, sf3 3.04 → 1.37/1.60 s
     * (4× the round-9 plan at sf1, e ≈ 0.4). The per-doc novel-count
     * attach stays a plain join — deliberately NOT a forced broadcast: at
@@ -286,6 +287,12 @@ object Retrieval {
       .where(size(col("t")) >= 3)
       .select(col("doc_id"),
         graft.functions.DistinctNgrams.distinct_ngrams(col("t"), 3).as("shs"))
+    // Null-free-token assumption (ADVICE r10): split() never yields null
+    // tokens, so `shs` never holds a NULL gram. If the tokenizer ever
+    // could, this plan and the oracle would silently diverge — size(shs)
+    // counts a NULL gram and the df=1 path retains the NULL group, while
+    // the oracle's JOIN dfreq USING (sh) drops NULL shingles. Any
+    // tokenizer change must re-pin this (or add `sh IS NOT NULL`).
     val perDoc = docs.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
     val novel = docs
       .select(col("doc_id"), explode(col("shs")).as("sh"))
@@ -336,7 +343,7 @@ object Retrieval {
     * drop-in prefilter when the probe batch is tiny relative to the index.
     *
     * Probe-side plan: shingle dedup is within-doc, so it happens PER ROW
-    * (array_distinct before the Generate — the quadratic-in-doc-length
+    * (array_distinct before the Generate — the interpreted-per-element
     * HOF that lost the [[ngramNovelty]] full-corpus A/B is paid on a
     * tenth of the stream here and buys a zero-exchange path to the join,
     * the same trade contaminationCheck measured); n_shingles falls out of

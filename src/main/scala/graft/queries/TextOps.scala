@@ -185,10 +185,11 @@ object TextOps {
     * probe side) and its streaming twin
     * ([[graft.streaming.StreamOps.noveltyScreenStream]]). Dedup happens
     * PER ROW before the Generate — zero-exchange — via the codegen
-    * [[graft.functions.DistinctNgrams]] hash-set expression (O(tokens);
-    * the composed array_distinct(transform(...)) it replaces is quadratic
-    * per row on string arrays, the measured loss of the round-10
-    * ngramNovelty A/B; bit-identity pinned in RegistryLintSpec).
+    * [[graft.functions.DistinctNgrams]] hash-set expression (one codegen'd
+    * O(tokens) pass; the composed array_distinct(transform(...)) it
+    * replaces pays an interpreted per-element lambda + concat Invoke — the
+    * measured loss of the round-10 ngramNovelty A/B (BENCH_NOTES §20);
+    * bit-identity pinned in RegistryLintSpec).
     */
   def distinctShinglesPerRow(docs: DataFrame): DataFrame =
     docs
@@ -712,8 +713,10 @@ object TextOps {
     //    n_bg (it is the array's size). The ORIGINAL per-row attempt —
     //    array_distinct(transform(...)) — had been measured 2-3× SLOWER
     //    than explode+distinct+window (4.4 s vs 1.9 s at sf0.1): the
-    //    interpreted nested-lambda HOF plus ArrayDistinct's quadratic
-    //    string path. The custom expression removes both costs; A/B vs
+    //    interpreted nested-lambda HOF with its per-element concat
+    //    Invoke (ArrayDistinct itself is linear on strings — attribution
+    //    corrected r11, BENCH_NOTES §20). The custom expression removes
+    //    the interpreted term entirely; A/B vs
     //    the distinct+window form, isolated ×2: sf1 16.0-16.4 →
     //    13.5-14.3 s, sf3 9.2-9.3 → 6.5-7.9 s, identical output. (A
     //    pair-level n_bg attach keeping the distinct had separately been
