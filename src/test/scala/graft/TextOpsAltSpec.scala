@@ -162,6 +162,42 @@ class TextOpsAltSpec extends AnyFunSuite {
     assert(math.abs(jac - 16.0 / 18.0) < 1e-12, s"jaccard=$jac")
   }
 
+  test("large-star/small-star CC == label fixpoint on the corpus; logarithmic rounds on deep-diameter graphs") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    // contract equality on the real candidate graph (shared oracle)
+    Seq(Sf0001, Sf001).foreach { sf =>
+      val viaLabels = TextOps.dedupClustersFixpoint(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val viaStars = TextOps.dedupClustersStars(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(viaStars === viaLabels, s"sf=$sf")
+    }
+    // a 200-vertex chain has diameter 199: the label loop needs one round
+    // per hop (> its 50-round default guard → raises), while the star
+    // alternation contracts it in a handful of rounds
+    val docs = (1L to 200L).toDF("doc_id")
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = TextOps.starsCc(docs, chain)
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      (1L to 200L).map(_ -> 1L).toMap)
+    assert(rounds <= 12, s"stars took $rounds rounds on a 199-hop chain")
+    intercept[IllegalStateException] {
+      TextOps.connectedComponentsFixpoint(docs, chain, maxRounds = 20)
+    }
+    // mixed shape: two components (a 37-chain offset by 1000 and a star
+    // plus isolated docs) — labels are component minima, isolateds self
+    val docs2 = ((1L to 40L) ++ (1001L to 1037L)).toDF("doc_id")
+    val pairs2 = ((1001L until 1037L).map(i => (i, i + 1)) ++ // chain
+      (2L to 30L).map(i => (1L, i))).toDF("doc_a", "doc_b")   // star at 1
+    val (labels2, _) = TextOps.starsCc(docs2, pairs2)
+    val got2 = labels2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want2 =
+      ((1L to 30L).map(_ -> 1L) ++ (31L to 40L).map(d => d -> d) ++
+        (1001L to 1037L).map(_ -> 1001L)).toMap
+    assert(got2 === want2)
+  }
+
   /** Naive complete reference for [[TextOps.exactSubstringDedup]]: ALL
     * 50-gram md5s per doc (no seed sampling, no candidate stage) — the
     * oracle's plan, rebuilt in Spark so planted corpora (never written to
