@@ -110,6 +110,85 @@ class RefinerySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  /** Plain-Scala rank sweep with the committed merge table prefix — the
+    * reference semantics for bpe_encode / BpeApply: per rank, one
+    * left-to-right greedy non-overlapping merge pass; code points, not
+    * UTF-16 units. */
+  private def bpeSweep(w: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n); i += n
+      }
+      out.toSeq
+    }
+    for ((a, b) <- merges) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  test("bpe_encode: weighted symbol counts recompute from a plain-Scala rank sweep; symbols reassemble words") {
+    val wf = rawDocs.flatMap(_._3).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, n) <- wf; s <- bpeSweep(w, Refinery.BpeMerges)) counts(s) += n
+    val expected = counts.toSeq.sortBy { case (s, n) => (-n, s) }.take(100)
+    val got = Refinery.bpeEncode(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    // losslessness: encoding never alters content, only segmentation
+    for ((w, _) <- wf)
+      assert(bpeSweep(w, Refinery.BpeMerges).mkString === w, s"word $w")
+  }
+
+  test("BpeApply expression == chained mergePairFold plan at collapsible k; code points; cascaded merges") {
+    import spark.implicits._
+    // ararat/aaaa: overlap greed; paparazzi: the (p, ar) cascade after
+    // (a, r); straße/naïve: multi-byte; the clef is an astral (surrogate
+    // pair) code point — UTF-16-unit splitting would shear it
+    val words = Seq("error", "minor", "paparazzi", "canal", "stationary",
+      "ararat", "aaaa", "x", "straße", "naïve", "par", "a𝄞b").toDF("w")
+    val k = 4 // the composed plan is ~4^k nodes — keep it collapsible here
+    val seg0 = words.withColumn("s",
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val viaFold = Refinery.BpeMerges.take(k).foldLeft(seg0) { case (df, (a, b)) =>
+      df.withColumn("s", Refinery.mergePairFold(col("s"), a, b))
+    }.select(col("w"), col("s")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val viaExpr = words
+      .select(col("w"),
+        graft.functions.BpeApply.bpe_apply(col("w"), Refinery.BpeMerges.take(k)).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val viaScala = viaExpr.keys.map(w => w -> bpeSweep(w, Refinery.BpeMerges.take(k))).toMap
+    assert(viaExpr === viaFold)
+    assert(viaExpr === viaScala)
+    // full-table spot check against plain Scala (the fold plan can't run k=12)
+    val full = words.select(col("w"),
+      graft.functions.BpeApply.bpe_apply(col("w"), Refinery.BpeMerges).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(full === full.keys.map(w => w -> bpeSweep(w, Refinery.BpeMerges)).toMap)
+  }
+
+  test("bpeLearnMerges re-derives the committed table; hand-computed trace on a planted corpus") {
+    import spark.implicits._
+    assert(Refinery.bpeLearnMerges(Tables.documents(spark, Sf0001), 12) ===
+      Refinery.BpeMerges)
+    // planted: "abab" ×2 + "ab" ×1 → pair counts (a,b)=5, (b,a)=2 →
+    // rank 1 merges (a,b); re-segmented [ab,ab]/[ab] → rank 2 (ab,ab)
+    val docs = Seq((1L, "abab ab abab")).toDF("doc_id", "text")
+    assert(Refinery.bpeLearnMerges(docs, 2) === Seq(("a", "b"), ("ab", "ab")))
+  }
+
   test("gopher_quality_rules: every named rule recomputes; no rule is vacuous") {
     val stop = Set("the", "and", "of", "to", "in", "is", "a", "an")
     val expected = rawDocs.map { case (id, src, raw) =>
