@@ -978,11 +978,16 @@ object TextOps {
     * because unlike Jaccard's threshold the substring rule has no slack: an
     * exactness-preserving cap does not exist, only a documented policy cut.
     */
-  def exactSubstringDedup(docs: DataFrame): DataFrame = {
-    val stride = SubstrRunLen - SubstrSeedLen + 1 // 43
+  def exactSubstringDedup(docs: DataFrame): DataFrame =
+    exactSubstringDedupWithIndex(docs,
+      tokenWindows(docs, SubstrSeedLen, SubstrRunLen - SubstrSeedLen + 1))
+
+  /** [[exactSubstringDedup]] against a caller-supplied stride-aligned seed
+    * index — the seam the persisted-index probe regime
+    * ([[dedupExactSubstringProbe]]) plugs into. */
+  private def exactSubstringDedupWithIndex(docs: DataFrame, index: DataFrame): DataFrame = {
     // probe: every seed start; index: stride-aligned starts only (1, 44, 87 …)
     val seeds = tokenWindows(docs, SubstrSeedLen)
-    val index = tokenWindows(docs, SubstrSeedLen, stride)
     val candidates = seeds.select(col("doc_id").as("p_doc"), col("h"))
       .join(index.select(col("doc_id").as("i_doc"), col("h")), Seq("h"))
       .where(col("p_doc") =!= col("i_doc"))
@@ -1014,6 +1019,37 @@ object TextOps {
   /** Registered form of [[exactSubstringDedup]] over the documents table. */
   def dedupExactSubstring(spark: SparkSession, sf: String): DataFrame =
     exactSubstringDedup(Tables.documents(spark, sf))
+
+  /** Persisted-index regime of [[dedupExactSubstring]] — the same
+    * train/probe split as dedup_minhash_probe: the stride-aligned seed
+    * table (1/43 of the corpus' grams, the small side of the candidate
+    * join) is built ONCE per (sf, source fingerprint) via
+    * [[graft.ops.IndexStore]] and each probe batch joins its all-position
+    * seed stream against it — the incremental-ingest shape, where a new
+    * shard screens against the committed corpus index without re-hashing
+    * it. Deterministic md5 seed math ⇒ output identical to
+    * [[dedupExactSubstring]]; registers under the SAME oracle.
+    */
+  def dedupExactSubstringProbe(spark: SparkSession, sf: String): DataFrame = {
+    val dir = xsubIndexDir(sf)
+    val resolved =
+      if (new java.io.File(s"$dir/seeds/_SUCCESS").exists()) dir
+      else buildXsubIndex(spark, sf)
+    exactSubstringDedupWithIndex(
+      Tables.documents(spark, sf),
+      spark.read.parquet(s"$resolved/seeds"))
+  }
+
+  def buildXsubIndex(spark: SparkSession, sf: String): String =
+    graft.ops.IndexStore.buildOnce(xsubIndexDir(sf), "seeds/_SUCCESS") { staging =>
+      tokenWindows(Tables.documents(spark, sf), SubstrSeedLen,
+        SubstrRunLen - SubstrSeedLen + 1)
+        .write.mode("overwrite").parquet(s"$staging/seeds")
+    }
+
+  /** v1: (doc_id, h) md5 of 8-token seed grams at stride-43 starts. */
+  private def xsubIndexDir(sf: String): String =
+    graft.ops.IndexStore.indexDir("graft_xsub_v1", sf, Tables.path(sf, "documents"))
 
   /** Oracle: the naive all-50-grams form (complete by construction — no
     * sampling), so the Spark side's seed-sampling completeness argument is
@@ -1246,6 +1282,7 @@ object TextOps {
     ("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     ("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
     ("dedup_exact_substring", dedupExactSubstring _, dedupExactSubstringSql),
+    ("dedup_exact_substring_probe", dedupExactSubstringProbe _, dedupExactSubstringSql),
     ("lang_id", langId _, langIdSql),
     ("token_count", tokenCount _, tokenCountSql),
     ("text_quality_score", textQualityScore _, textQualityScoreSql),

@@ -236,6 +236,19 @@ class TextOpsAltSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-substring persisted-index probe == in-query form; index builds once and is reused") {
+    import graft.queries.TextOps
+    val inQuery = TextOps.dedupExactSubstring(spark, Sf001).collect().toSeq
+    val viaProbe = TextOps.dedupExactSubstringProbe(spark, Sf001).collect().toSeq
+    assert(viaProbe === inQuery && viaProbe.nonEmpty)
+    val dir = TextOps.buildXsubIndex(spark, Sf001)
+    val marker = new java.io.File(s"$dir/seeds/_SUCCESS")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    assert(TextOps.dedupExactSubstringProbe(spark, Sf001).collect().toSeq === inQuery)
+    assert(marker.lastModified() === mtime)
+  }
+
   test("exact-substring dedup: planted-run boundaries, survivor rule, seed-sampling coverage") {
     import spark.implicits._
     import graft.queries.TextOps
