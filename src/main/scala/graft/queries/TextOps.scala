@@ -1020,6 +1020,25 @@ object TextOps {
   def dedupExactSubstring(spark: SparkSession, sf: String): DataFrame =
     exactSubstringDedup(Tables.documents(spark, sf))
 
+  /** Per-row seed stream with the stride-index flag: (doc_id, h, is_idx)
+    * where is_idx marks the stride-aligned starts (1-based 1, 44, 87 …) —
+    * the SAME seed definition as [[tokenWindows]], restated with every
+    * position flagged instead of two separate Generates, because the
+    * streaming screen twin ([[graft.streaming.StreamOps
+    * .exactSubstringScreenStream]]) needs probe and index roles of one
+    * row stream inside a single stateful operator.
+    */
+  private[graft] def substrSeedStream(docs: DataFrame): DataFrame = {
+    val stride = SubstrRunLen - SubstrSeedLen + 1
+    docs
+      .select(col("doc_id"), tokensCol.as("t"))
+      .where(size(col("t")) >= SubstrRunLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(t) - $SubstrSeedLen + 1), i -> array_join(slice(t, i, $SubstrSeedLen), ' '))")))
+      .select(col("doc_id"), md5(col("col").cast("binary")).as("h"),
+        (col("pos") % stride === 0).as("is_idx"))
+  }
+
   /** Persisted-index regime of [[dedupExactSubstring]] — the same
     * train/probe split as dedup_minhash_probe: the stride-aligned seed
     * table (1/43 of the corpus' grams, the small side of the candidate

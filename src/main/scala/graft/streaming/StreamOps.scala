@@ -346,6 +346,58 @@ object StreamOps {
       .toDF("doc_a", "doc_b", "band")
   }
 
+  // --------------------------- streaming exact-substring screen twin
+  /** Incremental exact-substring duplicate screening — the streaming twin
+    * of the batch `dedup_exact_substring` CANDIDATE stage (the contract is
+    * the candidate pair, exactly as [[minhashDedupStream]]'s is; the
+    * 50-gram confirm join and survivor rule remain downstream batch steps
+    * over the pair stream). State lives per seed-hash BUCKET: the ids of
+    * docs whose STRIDE-ALIGNED seeds landed there — the persisted-index
+    * regime's index side, accumulated incrementally — while every arriving
+    * doc probes with ALL its seed positions. The q-gram partition argument
+    * makes this single direction complete: a doc sharing a ≥50-token run
+    * with any EARLIER doc always hits that doc's stride-aligned seed via
+    * one of its own all-position seeds — precisely the incremental-ingest
+    * question ("does the new shard duplicate the committed corpus?").
+    *
+    * Pre-batch semantics like [[noveltyScreenStream]]: probes are judged
+    * against bucket membership as of the batch's START, then the batch's
+    * index entries are added — same-batch pairs are deliberately not
+    * emitted (they are the committed corpus' own batch dedup problem) and
+    * output is row-order deterministic; StreamingSpec pins set equality
+    * with a strictly-earlier-batch reference across micro-batch splits.
+    * A pair sharing several seed buckets emits once per bucket (the
+    * minhash per-band shape); consumers dedup. `bucketCap` is the hot
+    * boilerplate-seed defense — bounded state AND bounded output per
+    * bucket — the same documented trade as [[minhashDedupStream]]'s.
+    */
+  def exactSubstringScreenStream(docs: DataFrame, bucketCap: Int = 64): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    graft.queries.TextOps.substrSeedStream(docs)
+      .as[(Long, String, Boolean)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, Boolean)], state: GroupState[Array[Long]]) =>
+          val members = state.getOption.getOrElse(Array.empty[Long])
+          val batch = rows.toList
+          val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+          batch.map(_._1).distinct.foreach { d =>
+            members.foreach { e =>
+              if (e != d) out += ((math.min(e, d), math.max(e, d)))
+            }
+          }
+          var m = members
+          batch.filter(_._3).map(_._1).distinct.foreach { d =>
+            if (!m.contains(d) && m.length < bucketCap) m = m :+ d
+          }
+          state.update(m)
+          out.iterator
+      }
+      .toDF("doc_a", "doc_b")
+  }
+
   // --------------------------------------- streaming novelty screen twin
   /** Continuous n-gram novelty screening — the streaming twin of
     * [[graft.queries.Retrieval.ngramNoveltyProbe]]'s held-out

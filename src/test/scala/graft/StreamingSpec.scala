@@ -456,6 +456,55 @@ class StreamingSpec extends AnyFunSuite {
       "chunking must split at least one candidate pair across micro-batches")
   }
 
+  test("streaming exact-substring screen: candidates == strictly-earlier-batch reference; confirmed batch dups all caught") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps
+      .exactSubstringScreenStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("xsubstream").start()
+    val chunks = docs.grouped(17).toSeq
+    try {
+      chunks.foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("xsubstream")
+      .as[(Long, Long)].collect().toSet
+    // plain-Scala reference: (e, d) is a candidate iff e streamed in a
+    // STRICTLY earlier batch than d and one of e's stride-aligned 8-gram
+    // seeds equals any 8-gram of d (either doc may be the lower id)
+    val L = graft.queries.TextOps.SubstrRunLen
+    val K = graft.queries.TextOps.SubstrSeedLen
+    val stride = L - K + 1
+    def toks(t: String) = t.toLowerCase.split(" ", -1).toSeq
+    def grams(ts: Seq[String], step: Int): Set[String] =
+      if (ts.size < L) Set.empty
+      else (0 to ts.size - K by step).map(i => ts.slice(i, i + K).mkString(" ")).toSet
+    val batchOf = docs.map(_._1).zipWithIndex.map { case (id, i) => id -> i / 17 }.toMap
+    val byDoc = docs.map { case (id, t) => id -> toks(t) }.toMap
+    val expected = (for {
+      (e, d) <- docs.map(_._1).combinations(2).map(c => (c(0), c(1))).toSeq
+      (early, late) = if (batchOf(e) < batchOf(d)) (e, d)
+        else if (batchOf(d) < batchOf(e)) (d, e) else (0L, 0L)
+      if early != late
+      if grams(byDoc(early), stride).intersect(grams(byDoc(late), 1)).nonEmpty
+    } yield (math.min(e, d), math.max(e, d))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture produced no cross-batch exact-substring candidates")
+    // completeness downstream: every CONFIRMED batch dup pair whose docs
+    // land in different micro-batches appears in the candidate stream
+    val confirmed = graft.queries.TextOps.dedupExactSubstring(spark, Sf0001)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, dupOf, _) => (math.min(d, dupOf), math.max(d, dupOf)) }
+      .filter { case (a, b) => batchOf(a) != batchOf(b) }
+    assert(confirmed.nonEmpty, "no confirmed dup pair straddles a batch boundary")
+    confirmed.foreach(p => assert(got.contains(p), s"confirmed dup pair $p missed"))
+  }
+
   test("streaming novelty screen: verdicts == strictly-earlier-batch reference, across micro-batches") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf0001)
