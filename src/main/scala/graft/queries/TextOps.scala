@@ -1070,6 +1070,105 @@ object TextOps {
   private def xsubIndexDir(sf: String): String =
     graft.ops.IndexStore.indexDir("graft_xsub_v1", sf, Tables.path(sf, "documents"))
 
+  /** Exact-substring REWRITE — the full Lee et al. 2022 output: rather
+    * than dropping whole documents, remove every duplicated ≥50-token
+    * span (all but its globally-first occurrence) and REBUILD the
+    * documents. Definitions, deterministic and engine-pinned:
+    *
+    *  - every 50-token window (doc_id, pos, md5) of every ≥50-token doc
+    *    competes on the encoded key doc_id·10⁶ + pos (positions are
+    *    1-based; the encoding assumes < 10⁶ tokens/doc — a 4 MB document
+    *    at ~4 chars/token, far above the corpus and any sane shard;
+    *    raising the constant is a one-line change);
+    *  - a window is DUPLICATE iff its key is not the minimum for its
+    *    md5 — so the first occurrence (earliest doc, then earliest
+    *    position, within-doc repeats included) always survives;
+    *  - a token is dropped iff covered by ≥1 duplicate window; documents
+    *    rebuild from their kept tokens in position order (docs shorter
+    *    than 50 tokens — and docs with no duplicated span — rebuild to
+    *    their exact original text).
+    *
+    * Scale posture: one h-keyed shuffle for the first-occurrence min, an
+    * h-keyed join-back, the ×50 coverage explode ONLY over duplicate
+    * windows (rare by construction), one (doc, pos)-keyed anti-ish left
+    * join, one doc-keyed rebuild agg — all linear, no candidate pairs at
+    * all; this is the heavy-but-honest full-rewrite pass a pipeline runs
+    * once per corpus version, where [[dedupExactSubstring]] is the cheap
+    * doc-level screen.
+    */
+  def dedupSubstringRewrite(spark: SparkSession, sf: String): DataFrame =
+    substringRewrite(Tables.documents(spark, sf))
+
+  /** [[dedupSubstringRewrite]] core over an arbitrary (doc_id, text)
+    * frame — the seam TextOpsAltSpec's planted-span recomputes use. */
+  private[graft] def substringRewrite(docs: DataFrame): DataFrame = {
+    val L = SubstrRunLen
+    val toks = docs
+      .select(col("doc_id"), tokensCol.as("t"))
+      .select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+    val grams = docs
+      .select(col("doc_id"), tokensCol.as("t"))
+      .where(size(col("t")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(t) - $L + 1), i -> array_join(slice(t, i, $L), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        md5(col("col").cast("binary")).as("h"))
+      .withColumn("k", col("doc_id") * lit(1000000L) + col("pos"))
+    val firstK = grams.groupBy(col("h")).agg(min(col("k")).as("mk"))
+    val covered = grams
+      .join(firstK, Seq("h"))
+      .where(col("k") > col("mk"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${L - 1})")).as("pos"))
+      .distinct()
+    toks
+      .join(covered.withColumn("cov", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cov").isNull, 0L).otherwise(1L)).as("n_removed"),
+        collect_list(when(col("cov").isNull, struct(col("pos"), col("token"))))
+          .as("kept_structs"))
+      .withColumn("rebuilt",
+        expr("array_join(transform(array_sort(kept_structs), s -> s.token), ' ')"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_removed"),
+        length(col("rebuilt")).cast("long").as("n_rebuilt_chars"),
+        md5(col("rebuilt").cast("binary")).as("rebuilt_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[dedupSubstringRewrite]]: identical window/first-key/
+    * coverage arithmetic; string_agg(… ORDER BY pos) FILTER does the
+    * rebuild. */
+  val dedupSubstringRewriteSql: String =
+    s"""WITH td AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), toks AS (
+      |  SELECT doc_id, u.i AS pos, t[u.i] AS token
+      |  FROM td, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+      |), grams AS (
+      |  SELECT doc_id, u.i AS pos,
+      |    md5(array_to_string(t[u.i:u.i+${SubstrRunLen - 1}], ' ')) AS h,
+      |    doc_id * 1000000 + u.i AS k
+      |  FROM td, LATERAL unnest(range(1, len(t) - ${SubstrRunLen - 2})) AS u(i)
+      |  WHERE len(t) >= $SubstrRunLen
+      |), firstk AS (
+      |  SELECT h, min(k) AS mk FROM grams GROUP BY h
+      |), covered AS (
+      |  SELECT DISTINCT g.doc_id, u2.p AS pos
+      |  FROM grams g JOIN firstk f ON g.h = f.h AND g.k > f.mk,
+      |    LATERAL unnest(range(g.pos, g.pos + $SubstrRunLen)) AS u2(p)
+      |), marked AS (
+      |  SELECT t.doc_id, t.pos, t.token, c.pos IS NOT NULL AS cov
+      |  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(length(coalesce(string_agg(token, ' ' ORDER BY pos) FILTER (WHERE NOT cov), '')) AS BIGINT) AS n_rebuilt_chars,
+      |  md5(coalesce(string_agg(token, ' ' ORDER BY pos) FILTER (WHERE NOT cov), '')) AS rebuilt_md5
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Oracle: the naive all-50-grams form (complete by construction — no
     * sampling), so the Spark side's seed-sampling completeness argument is
     * itself cross-checked, not assumed. md5 on both engines per the module
@@ -1302,6 +1401,7 @@ object TextOps {
     ("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
     ("dedup_exact_substring", dedupExactSubstring _, dedupExactSubstringSql),
     ("dedup_exact_substring_probe", dedupExactSubstringProbe _, dedupExactSubstringSql),
+    ("dedup_substring_rewrite", dedupSubstringRewrite _, dedupSubstringRewriteSql),
     ("lang_id", langId _, langIdSql),
     ("token_count", tokenCount _, tokenCountSql),
     ("text_quality_score", textQualityScore _, textQualityScoreSql),

@@ -236,6 +236,77 @@ class TextOpsAltSpec extends AnyFunSuite {
     }
   }
 
+  /** Plain-Scala reference for [[TextOps.substringRewrite]]'s contract:
+    * first occurrence (by doc_id·10⁶ + 1-based pos) of every 50-gram
+    * survives; tokens covered by any later occurrence drop; docs rebuild
+    * from kept tokens in order. */
+  private def rewriteRef(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val L = graft.queries.TextOps.SubstrRunLen
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val firstK = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, ts) <- toks; i <- 0 to ts.size - L) {
+      val g = ts.slice(i, i + L).mkString(" ")
+      val k = id * 1000000L + (i + 1)
+      if (!firstK.contains(g) || firstK(g) > k) firstK(g) = k
+    }
+    toks.map { case (id, ts) =>
+      val cov = Array.fill(ts.size)(false)
+      for (i <- 0 to ts.size - L) {
+        val g = ts.slice(i, i + L).mkString(" ")
+        if (firstK(g) != id * 1000000L + (i + 1))
+          (i until i + L).foreach(cov(_) = true)
+      }
+      val kept = ts.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+      id -> (ts.size.toLong, cov.count(identity).toLong, kept.mkString(" "))
+    }.toMap
+  }
+
+  test("substring rewrite: first occurrence survives, spans cut, docs rebuild — planted + corpus recompute") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def check(docs: Seq[(Long, String)]): Unit = {
+      val want = rewriteRef(docs)
+      val got = TextOps.substringRewrite(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      assert(got.keySet === want.keySet)
+      for ((id, (n, rem, kept)) <- want) {
+        assert(got(id) === ((n, rem, kept.length.toLong, md5hex(kept))), s"doc $id")
+      }
+    }
+    // planted: doc 1 owns the span; doc 2 repeats it mid-text (span cut,
+    // flanks survive); doc 3 repeats it twice INCLUDING within-doc
+    // repetition; doc 4 is a sub-50 doc that must pass through verbatim
+    val run = (0 until 50).map(i => s"r$i")
+    def fill(d: Int, n: Int, from: Int = 0) = (from until from + n).map(j => s"f${d}_$j")
+    val planted = Seq(
+      1L -> (fill(1, 5) ++ run ++ fill(1, 5, 5)).mkString(" "),
+      2L -> (fill(2, 7) ++ run ++ fill(2, 9, 7)).mkString(" "),
+      3L -> (run ++ fill(3, 3) ++ run).mkString(" "),
+      4L -> (0 until 30).map(i => s"s$i").mkString(" "))
+    check(planted)
+    // sanity on the planted expectations themselves: doc 1 keeps all 60
+    // tokens; doc 2 drops exactly 50; doc 3 drops every token covered by
+    // a non-first window (its own first window is doc 3's ONLY survivor
+    // only if no earlier doc had the gram — here doc 1 did, so both of
+    // doc 3's runs are cut, and the 3 fillers survive)
+    val w = rewriteRef(planted)
+    assert(w(1L) === ((60L, 0L, planted.head._2)))
+    assert(w(2L)._2 === 50L)
+    assert(w(3L) === ((103L, 100L, "f3_0 f3_1 f3_2")))
+    assert(w(4L)._2 === 0L)
+    // full recompute on the real corpus
+    val corpus = Tables.documents(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)].collect().toSeq
+    check(corpus)
+    val changed = rewriteRef(corpus).count { case (_, (_, rem, _)) => rem > 0 }
+    assert(changed > 0, "corpus has no duplicated span — recompute has no power")
+  }
+
   test("exact-substring persisted-index probe == in-query form; index builds once and is reused") {
     import graft.queries.TextOps
     val inQuery = TextOps.dedupExactSubstring(spark, Sf001).collect().toSeq
