@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomContains, DistinctNgrams, MinGramMd5, NfcNormalize, VecDot}
+import graft.functions.{BloomContains, BpeApply, DistinctNgrams, MinGramMd5, NfcNormalize, VecDot}
 
 /** Session extension (SURVEY §2.K4 surface): registers the library's native
   * functions into the SQL function registry, so the raw-SQL surface
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
     ext.injectFunction(GraftExtensions.minGramMd5Descriptor)
     ext.injectFunction(GraftExtensions.distinctNgramsDescriptor)
+    ext.injectFunction(GraftExtensions.bpeApplyDescriptor)
   }
 }
 
@@ -164,6 +165,42 @@ object GraftExtensions {
       case other => wrongNumArgs("distinct_ngrams", 2, other.size)
     })
 
+  val bpeApplyDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_apply"),
+    new ExpressionInfo(
+      classOf[BpeApply].getCanonicalName,
+      null,
+      "bpe_apply",
+      "bpe_apply(w, firsts, seconds) - BPE rank-sweep encode of word w with the merge table " +
+        "zip(firsts, seconds) (two equal-length non-empty array<string> literals — two arrays " +
+        "because symbols may contain any would-be delimiter character)",
+      ""),
+    {
+      case Seq(w, as, bs) if as.foldable && bs.foldable =>
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        def strings(e: Expression): Option[Seq[String]] = (e.dataType, e.eval()) match {
+          case (ArrayType(StringType, _), a: ArrayData) =>
+            val out = (0 until a.numElements()).map(i =>
+              Option(a.getUTF8String(i)).map(_.toString).orNull)
+            if (out.contains(null)) None else Some(out)
+          case _ => None
+        }
+        (strings(as), strings(bs)) match {
+          case (Some(a), Some(b)) if a.size == b.size && a.nonEmpty =>
+            BpeApply(w, a.zip(b))
+          case (Some(a), Some(b)) =>
+            invalidParam("bpe_apply", "merges",
+              s"expects two equal-length non-empty array<string> literals, got sizes ${a.size} and ${b.size}")
+          case _ =>
+            invalidParam("bpe_apply", "merges",
+              "expects two non-null array<string> literals without null elements")
+        }
+      case Seq(_, _, _) =>
+        invalidParam("bpe_apply", "merges", "expects two foldable array<string> literals")
+      case other => wrongNumArgs("bpe_apply", 3, other.size)
+    })
+
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -176,5 +213,7 @@ object GraftExtensions {
       minGramMd5Descriptor._1, minGramMd5Descriptor._2, minGramMd5Descriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       distinctNgramsDescriptor._1, distinctNgramsDescriptor._2, distinctNgramsDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bpeApplyDescriptor._1, bpeApplyDescriptor._2, bpeApplyDescriptor._3)
   }
 }

@@ -241,6 +241,41 @@ class RegistryLintSpec extends AnyFunSuite {
   // error-class definition, the THROW fails with an internal
   // SparkException instead of the intended analysis error. This pins the
   // error class for each rejection shape, and the Decimal-literal accept.
+  test("bpe_apply registers into the SQL surface, matching the Column API; bad merges raise analysis errors") {
+    import graft.queries.Refinery
+    GraftExtensions.register(spark)
+    Tables.documents(spark, Sf0001).limit(20).createOrReplaceTempView("bpe_sql_t")
+    val merges = Refinery.BpeMerges
+    def arr(xs: Seq[String]) = xs.map(x => s"'${x.replace("'", "''")}'").mkString("array(", ", ", ")")
+    val firsts = arr(merges.map(_._1))
+    val seconds = arr(merges.map(_._2))
+    val viaSql = spark.sql(
+      s"""SELECT bpe_apply(split_part(text, ' ', 1), $firsts, $seconds) AS s
+         |FROM bpe_sql_t ORDER BY doc_id""".stripMargin)
+      .collect().map(_.getSeq[String](0))
+    val viaColumn = Tables.documents(spark, Sf0001).limit(20)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .select(graft.functions.BpeApply.bpe_apply(
+        org.apache.spark.sql.functions.expr("split_part(text, ' ', 1)"), merges).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(viaSql.toSeq === viaColumn.toSeq)
+    assert(viaSql.nonEmpty && viaSql.exists(_.nonEmpty))
+    def analysisError(sql: String) =
+      intercept[org.apache.spark.sql.AnalysisException] { spark.sql(sql).collect() }
+    // arity
+    assert(analysisError("SELECT bpe_apply(text) FROM bpe_sql_t")
+      .getCondition.startsWith("WRONG_NUM_ARGS"))
+    // length mismatch, empty table, non-literal, null element
+    assert(analysisError(s"SELECT bpe_apply(text, array('a'), array('b', 'c')) FROM bpe_sql_t")
+      .getCondition === "INVALID_PARAMETER_VALUE.PATTERN")
+    assert(analysisError(s"SELECT bpe_apply(text, array(), array()) FROM bpe_sql_t")
+      .getCondition === "INVALID_PARAMETER_VALUE.PATTERN")
+    assert(analysisError(s"SELECT bpe_apply(text, split(text, ' '), array('b')) FROM bpe_sql_t")
+      .getCondition === "INVALID_PARAMETER_VALUE.PATTERN")
+    assert(analysisError(s"SELECT bpe_apply(text, array('a', NULL), array('b', 'c')) FROM bpe_sql_t")
+      .getCondition === "INVALID_PARAMETER_VALUE.PATTERN")
+  }
+
   test("min_gram_md5 bad-n shapes raise INVALID_PARAMETER_VALUE; decimal literals accepted") {
     GraftExtensions.register(spark)
     Tables.documents(spark, Sf0001).limit(5).createOrReplaceTempView("mgm_err_t")
