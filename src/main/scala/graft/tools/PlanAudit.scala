@@ -25,7 +25,12 @@ object PlanAudit {
       .config(graft.Tables.EventsNanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // same subset knob as Bench: SPARK_GRAFT_ONLY=a,b,c audits those rows
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString()
         def n(pat: String) = pat.r.findAllIn(plan).size
