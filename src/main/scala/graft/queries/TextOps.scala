@@ -844,25 +844,64 @@ object TextOps {
       .agg(count(lit(1)).as("df"))
       .where(col("df") > JaccardDfCap)
       .select(col("lang"), col("source"), col("bg"))
-    // candidate pairs + exact shared-RARE count in one codegen'd pass
-    val rare = bigrams.join(hotBgs, Seq("lang", "source", "bg"), "left_anti")
+    // candidate pairs + exact shared-RARE count in one codegen'd pass.
+    // hotBgs is BROADCAST explicitly (r11): it is the df>cap gram set —
+    // boilerplate-sized and corpus-SUBLINEAR by construction (distinct hot
+    // grams, not rows) — but Catalyst's size estimate for the post-agg
+    // filter output lands above the 8MB bar at sf1, turning both the anti
+    // and the semi join into SortMergeJoins that each re-sort the 2.5M-row
+    // exploded gram stream by its (lang,source,bg) string key. Measured
+    // (Scratch, sf1, isolated): those sorts were the bulk of 3 of the 4
+    // heavy stages; see the shuffle_hash note below for the combined A/B.
+    val rare = bigrams.join(broadcast(hotBgs), Seq("lang", "source", "bg"), "left_anti")
+    // shuffle_hash (r11): the self-join's equi-key is the string triple;
+    // SMJ sorts BOTH 2.5M-row sides, and the sort dominates the probe.
+    // The df-cap bounds every key at ≤16 rows/side, so the per-partition
+    // hash relation is even (no skew) and bounded — exactly the regime
+    // where a shuffled hash join beats SMJ. Combined with the hotBgs
+    // broadcast + the three r11 changes below (length filter, UB
+    // prefilter, repartition barrier), canary-matched stash A/B at sf1:
+    // 19.73 → 7.85 s (knn canary 13.98 both legs); Scratch wall
+    // 10.7-11.7 → 5.4 s; sf0.1 and sf3 unchanged within window noise.
+    // Output identical (143/143 oracle + TextOpsAltSpec pins). At 100 TB
+    // the same argument holds because the cap, not the corpus, bounds
+    // per-key fanout.
+    // LENGTH FILTER (r11, exact — the AllPairs/PPJoin size bound, Bayardo
+    // et al. WWW'07 / Xiao et al. WWW'08): Jaccard ≥ 0.5 forces
+    // n_shared ≥ (n_a+n_b)/3 and n_shared ≤ min(n_a,n_b), hence
+    // 2·min ≥ max. Applied INSIDE the join so disqualified pairs never
+    // reach the aggregate (sf1: 1.74M → 1.33M pre-agg rows).
     val pairs = rare
       .select(col("doc_id").as("doc_a"), col("n_bg").as("n_a"), col("lang"), col("source"), col("bg"))
       .join(
-        rare.select(col("doc_id").as("doc_b"), col("n_bg").as("n_b"), col("lang"), col("source"), col("bg")),
+        rare.select(col("doc_id").as("doc_b"), col("n_bg").as("n_b"), col("lang"), col("source"), col("bg"))
+          .hint("shuffle_hash"),
         Seq("lang", "source", "bg"))
-      .where(col("doc_a") < col("doc_b"))
+      .where(col("doc_a") < col("doc_b") &&
+        least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_shared_rare"))
-    // exact HOT correction: per-doc hot-bigram sets are boilerplate-sized
-    // (empty on this corpus), so the per-pair intersection is O(small)
-    val hotSets = bigrams.join(hotBgs, Seq("lang", "source", "bg"), "left_semi")
+    // exact HOT correction: the per-pair intersection is bounded by the
+    // boilerplate-sized hot sets (sf1: avg 46 / max 99 grams per doc on
+    // this fixture's narrow synthetic vocabulary; a real web slice has
+    // far fewer distinct df>cap grams than documents)
+    val hotSets = bigrams.join(broadcast(hotBgs), Seq("lang", "source", "bg"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("bg"))).as("hot_bgs"))
     val emptyArr = array().cast("array<string>")
+    // UPPER-BOUND PREFILTER (r11, exact): n_shared ≤ n_shared_rare +
+    // min(|hot_a|,|hot_b|), so pairs whose BEST-CASE jaccard misses the
+    // threshold are rejected with pure arithmetic and never evaluate the
+    // interpreted array_intersect (sf1: 993k pairs → 675k intersects;
+    // each survivor pays the intersect in both the filter and the
+    // project — Catalyst pushes the jaccard predicate through the alias,
+    // so halving the evaluating rows counts double).
+    val ub = col("n_shared_rare") +
+      least(size(coalesce(col("hot_a"), emptyArr)), size(coalesce(col("hot_b"), emptyArr))).cast("long")
     val shared = pairs
       .join(hotSets.select(col("doc_id").as("doc_a"), col("hot_bgs").as("hot_a")), Seq("doc_a"), "left")
       .join(hotSets.select(col("doc_id").as("doc_b"), col("hot_bgs").as("hot_b")), Seq("doc_b"), "left")
+      .where(ub.cast("double") / (col("n_a") + col("n_b") - ub).cast("double") >= 0.5)
       .withColumn(
         "n_shared",
         col("n_shared_rare") +
@@ -873,6 +912,16 @@ object TextOps {
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
       .where(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+      // repartition BARRIER before the contract sort (r11): orderBy plans a
+      // range exchange whose bounds SAMPLING re-executes the stage feeding
+      // it — here the final agg + both hot joins + every array_intersect.
+      // Scratch(sf1) showed two 4.3 s stages each reading the identical
+      // 1.68M-row exchange with ~30 s CPU apiece: the whole reduce pipeline
+      // ran TWICE. The round-robin exchange materializes the (tiny,
+      // post-threshold) pair set so the sampler re-reads a shuffle file
+      // instead of recomputing the plan. Costs one extra shuffle of the
+      // RESULT rows only — scale-safe by construction.
+      .repartition(8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

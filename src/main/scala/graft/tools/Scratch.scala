@@ -38,7 +38,10 @@ object Scratch {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = if (collect) {
         val info = sc.stageInfo
         val dur = (for {s <- info.submissionTime; c <- info.completionTime} yield c - s).getOrElse(-1L)
-        stages += ((info.stageId, dur, info.numTasks, info.name.linesIterator.next().take(120)))
+        val m = info.taskMetrics
+        val io = s"srR=${m.shuffleReadMetrics.recordsRead} swR=${m.shuffleWriteMetrics.recordsWritten} " +
+          s"out=${m.outputMetrics.recordsWritten} cpuMs=${m.executorCpuTime / 1000000}"
+        stages += ((info.stageId, dur, info.numTasks, io + "  " + info.name.linesIterator.next().take(80)))
       }
     })
 
@@ -47,6 +50,8 @@ object Scratch {
       graft.SparkEntry.queries(name)(spark, sf).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("true"))
+      println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString())
     run(); run() // warm
     collect = true
     val wall = run()
