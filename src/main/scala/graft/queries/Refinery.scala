@@ -148,6 +148,15 @@ object Refinery {
     * minima, and distinct-count are array expressions inside one row, so
     * there is NO explode and NO shuffle before the contract sort. Cost is
     * linear in corpus tokens; memory is bounded by document length.
+    *
+    * The round-robin repartition before the contract sort is a SAMPLER
+    * BARRIER (r11): with the projection feeding orderBy directly, the
+    * range exchange's bounds sampler re-executes the whole md5 + window-
+    * minima pipeline a second time (Scratch at sf1: two 0.86 s stages,
+    * 24 s CPU each, identical 50k-row reads). The barrier shuffles only
+    * the five small RESULT columns, so the sampler re-reads a shuffle
+    * file instead. Scratch A/B at sf1: 2.10 → 1.25 s wall, and the
+    * doubled 24 core-s projection stage collapses to one.
     */
   def winnowFingerprints(spark: SparkSession, sf: String): DataFrame =
     Det
@@ -168,6 +177,7 @@ object Refinery {
         array_min(col("sel")).as("fp_min"),
         (size(col("sel")).cast("double") / (size(col("hs")) - lit(3)).cast("double"))
           .as("density"))
+      .repartition(8)
       .orderBy(col("doc_id"))
 
   val winnowFingerprintsSql: String =

@@ -204,19 +204,42 @@ object Retrieval {
     // fan-out in the scan's own tasks); every ll_fx occurrence of a bigram
     // is identical, so scoring cnt·ll_fx on the collapsed stream is
     // bit-identical to summing per occurrence (pinned in RetrievalSpec).
-    // The three consumers of docBg share ONE shuffle via ReuseExchange —
-    // the exchange subtree is canonically identical — so the explode pass
-    // runs once, not three times. sf1: 24.0 s → (re-measured this round).
+    // The consumers of docBg share ONE shuffle via ReuseExchange. r11
+    // CORRECTION to the r8 claim: with c1 aggregated straight off docBg,
+    // InferFiltersFromConstraints pushed DIFFERENT isnotnull predicates
+    // into the c1 vs c2 subtrees (isnotnull(substring(bg,1,1)) vs
+    // isnotnull(bg)), the exchanges no longer canonicalized equal, and
+    // the explode + partial-count pipeline ran TWICE (Scratch at sf1: two
+    // CompletableFuture stages each writing the identical 4.59M rows at
+    // ~36 s CPU). c1 is therefore now derived FROM c2 — c1(a) is the sum
+    // of c2 over bigrams starting with a, an alphabet-sized aggregate of
+    // an alphabet-sized frame — which removes the second corpus pass by
+    // construction instead of by canonicalization luck. Bit-identical
+    // (integer sums commute; RetrievalSpec + oracle pin it).
+    //
+    // The explicit `bg IS NOT NULL AND substring(bg,1,1) IS NOT NULL`
+    // filter below is the other half of the same fix: it seeds BOTH join
+    // keys' null constraints at the shared root, so
+    // InferFiltersFromConstraints has nothing to add in ANY branch and
+    // every consumer of the docBg exchange canonicalizes identically
+    // (semantically a no-op: substring of non-null text is never null).
+    // Combined Scratch A/B at sf1: 4.43-4.69 → 3.84 s wall, stage-time
+    // 7.2 → 3.6 s; the 4.59M-row explode+partial-count stage now appears
+    // exactly once (single-pass CPU rises ~36 → 52 core-s because the
+    // seed filter evaluates two substrings per char row — still a net
+    // 72 → 52 core-s win over the doubled pipeline, and the wall win is
+    // what Bench pays).
     val big = docs
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
         col("text"))
       .select(col("doc_id"), expr("substring(text, i, 2)").as("bg"))
+      .where(col("bg").isNotNull && expr("substring(bg, 1, 1)").isNotNull)
     val docBg = big.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
     val c2 = docBg.groupBy(col("bg")).agg(sum(col("cnt")).as("c2"))
-    val c1 = docBg
+    val c1 = c2
       .groupBy(expr("substring(bg, 1, 1)").as("a"))
-      .agg(sum(col("cnt")).as("c1"))
+      .agg(sum(col("c2")).as("c1"))
     docBg
       .join(broadcast(c2), Seq("bg"))
       .join(broadcast(c1.withColumnRenamed("a", "bg_a")),
