@@ -432,11 +432,102 @@ object Retrieval {
       |FROM probe LEFT JOIN ref USING (sh)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ dsir_importance_topk
+  /** Hash-bucket count for DSIR feature hashing: tokens land in
+    * `md5(w)[0,8) mod 1024` buckets, the same md5-portable integer idiom
+    * as [[CorpusPrep.weightedSample]]'s uniforms. 1024 is also the add-1
+    * smoothing support (every bucket is smoothed whether observed or not).
+    */
+  private[graft] val DsirBuckets = 1024L
+
+  /** Data Selection with Importance Resampling (Xie et al., NeurIPS 2023
+    * §2-3), top-k variant: score every document by its log importance
+    * weight under hashed-unigram bag-of-words multinomials of a TARGET
+    * slice (here lang = 'en', the fixture's majority-language proxy for
+    * "formal target domain") versus the RAW corpus, then keep the top
+    * 100. The weight is Σ_b c_b · log2(p̂_b / q̂_b) with add-1-smoothed
+    * bucket probabilities — docs whose token distribution looks most like
+    * the target float up. The paper's Gumbel-resampling step is the
+    * composition of this score with [[CorpusPrep.weightedSample]]'s
+    * md5-deterministic exponential race; the registered form is the
+    * deterministic top-k so the oracle stays exact.
+    *
+    * Shape at 100 TB: ONE corpus pass — the exploded token stream
+    * collapses to (doc, lang, bucket, count) in a single map-side-combined
+    * aggregate; the bucket statistics (1024 rows) and their totals derive
+    * from THAT frame, not from a second scan (the bigramLmScore r11
+    * lesson: the explicit isnotnull(b) root filter seeds the join-key
+    * constraint so InferFiltersFromConstraints cannot de-canonicalize the
+    * shared exchange and double the corpus pass). The per-bucket log
+    * ratios broadcast at 1024 rows regardless of corpus size, and the
+    * final top-k is TakeOrdered — no range-sampler re-execution.
+    *
+    * Fixed-point discipline per the object scaladoc: the ratio's log2 is
+    * ROUND(·,8)ed then FLOORed into the 2^40 domain, so the per-doc score
+    * sum is integer-exact in both engines (ll_fx ≲ 20·2^40, doc sums
+    * ≲ 1500·20·2^40 ≈ 2^55 — inside int64).
+    */
+  def dsirImportanceTopk(spark: SparkSession, sf: String): DataFrame = {
+    val toks = Det.spreadSmallScan(spark, Tables.documents(spark, sf))
+      .select(col("doc_id"), col("lang"), explode(TextOps.tokensCol).as("w"))
+      .where(col("w") =!= "")
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10).cast("long"),
+          lit(DsirBuckets)).as("b"))
+      .where(col("b").isNotNull)
+    val docBuckets = toks.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val bucketStats = docBuckets.groupBy(col("b"))
+      .agg(sum(col("c")).as("q"),
+        sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("p"))
+    val totals = bucketStats.agg(sum(col("q")).as("qt"), sum(col("p")).as("pt"))
+    val ll = bucketStats
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(round(log2(
+          ((col("p") + lit(1L)).cast("double") * (col("qt") + lit(DsirBuckets))) /
+            ((col("q") + lit(1L)).cast("double") * (col("pt") + lit(DsirBuckets)))), 8) * lit(Fx))
+          .as("ll_fx"))
+    docBuckets
+      .join(broadcast(ll), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("ll_fx")).as("score_fx"))
+      .orderBy(col("score_fx").desc, col("doc_id").asc)
+      .limit(100)
+  }
+
+  val dsirImportanceTopkSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+       |), tw AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 1024 AS b
+       |  FROM tok WHERE w <> ''
+       |), db AS (
+       |  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM tw GROUP BY 1, 2, 3
+       |), bs AS (
+       |  SELECT b, SUM(c) AS q, SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS p
+       |  FROM db GROUP BY 1
+       |), tot AS (
+       |  SELECT SUM(q) AS qt, SUM(p) AS pt FROM bs
+       |), ll AS (
+       |  SELECT b,
+       |    CAST(FLOOR(ROUND(LOG2(
+       |      (CAST(p + 1 AS DOUBLE) * (qt + 1024)) /
+       |      (CAST(q + 1 AS DOUBLE) * (pt + 1024))), 8) * $FxSql) AS BIGINT) AS ll_fx
+       |  FROM bs CROSS JOIN tot
+       |)
+       |SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(c * ll_fx) AS BIGINT) AS score_fx
+       |FROM db JOIN ll USING (b)
+       |GROUP BY 1, 2 ORDER BY score_fx DESC, doc_id ASC LIMIT 100""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("bm25_topk", bm25Topk _, bm25TopkSql),
     ("source_kl_drift", sourceKlDrift _, sourceKlDriftSql),
     ("bigram_lm_score", bigramLmScore _, bigramLmScoreSql),
     ("ngram_novelty", ngramNovelty _, ngramNoveltySql),
-    ("ngram_novelty_probe", ngramNoveltyProbe _, ngramNoveltyProbeSql)
+    ("ngram_novelty_probe", ngramNoveltyProbe _, ngramNoveltyProbeSql),
+    ("dsir_importance_topk", dsirImportanceTopk _, dsirImportanceTopkSql)
   )
 }

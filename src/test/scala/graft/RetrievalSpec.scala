@@ -230,4 +230,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(cells(Sf0001) === 8L, "sf0.001 (n=500) must floor at k=8")
     assert(cells("/root/testdata/sf0.1") === 16L, "sf0.1 (n=2000) must train k=16")
   }
+
+  test("dsir_importance_topk: scores recompute exactly from plain-Scala hashed-bucket multinomials") {
+    // full independent recompute: JDK md5 -> first 8 hex chars -> mod 1024
+    // buckets, add-1 smoothing over 1024, r8(log2)*2^40 floor, integer sums
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Long = {
+      val hex = md.digest(w.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1024L
+    }
+    val langs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docBuckets: Map[(Long, Long), Long] = tokenized
+      .flatMap { case (id, _, toks) => toks.map(w => (id, bucket(w))) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val q = docBuckets.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val p = docBuckets.filter { case ((id, _), _) => langs(id) == "en" }
+      .groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val (qt, pt) = (q.values.sum, p.values.sum)
+    val llFx: Map[Long, Long] = q.map { case (b, qb) =>
+      b -> math.floor(r8(log2(
+        ((p.getOrElse(b, 0L) + 1).toDouble * (qt + 1024)) /
+          ((qb + 1).toDouble * (pt + 1024)))) * Fx).toLong
+    }
+    val expected = docBuckets.groupBy(_._1._1).map { case (id, m) =>
+      (id, langs(id), m.values.sum, m.map { case ((_, b), c) => c * llFx(b) }.sum)
+    }.toSeq.sortBy { case (id, _, _, s) => (-s, id) }.take(100)
+    val got = Retrieval.dsirImportanceTopk(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // signal direction: the target language must be over-represented in
+    // the selection relative to its corpus share
+    val enShare = got.count(_._2 == "en").toDouble / got.size
+    val enBase = langs.values.count(_ == "en").toDouble / langs.size
+    assert(enShare > enBase, s"DSIR selection should enrich the target lang: $enShare vs $enBase")
+  }
 }
