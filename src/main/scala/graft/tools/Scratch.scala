@@ -45,21 +45,31 @@ object Scratch {
       }
     })
 
-    def run(): Double = {
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sf).write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("true"))
-      println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString())
-    run(); run() // warm
-    collect = true
-    val wall = run()
-    collect = false
-    Thread.sleep(1000) // let the listener bus drain
-    println(f"== $name wall $wall%.3f s, ${stages.size} stages, ${stages.map(_._2).sum / 1e3}%.3f s total stage time")
-    stages.sortBy(-_._2).take(30).foreach { case (id, dur, nt, nm) =>
-      println(f"stage $id%4d ${dur / 1e3}%8.3f s $nt%4d tasks  $nm")
+    // "ALL" sweeps every registered query in one JVM (streaming-shaped
+    // entries included — they all register batch-runnable DataFrames);
+    // comma-separated names run a subset. Per-query stage tables print in
+    // sequence for the double-exec detector to parse.
+    val names: Seq[String] =
+      if (name == "ALL") graft.SparkEntry.queries.keys.toSeq.sorted
+      else name.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    names.foreach { q =>
+      stages.clear()
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, sf).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("true"))
+        println(graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString())
+      run(); run() // warm
+      collect = true
+      val wall = run()
+      collect = false
+      Thread.sleep(300) // let the listener bus drain
+      println(f"== $q wall $wall%.3f s, ${stages.size} stages, ${stages.map(_._2).sum / 1e3}%.3f s total stage time")
+      stages.sortBy(-_._2).take(30).foreach { case (id, dur, nt, nm) =>
+        println(f"stage $id%4d ${dur / 1e3}%8.3f s $nt%4d tasks  $nm")
+      }
     }
     spark.stop()
   }
