@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomContains, BpeApply, DistinctNgrams, MinGramMd5, NfcNormalize, VecDot}
+import graft.functions.{BloomContains, BpeApply, CharBigramCounts, DistinctNgrams, MinGramMd5, NfcNormalize, VecDot}
 
 /** Session extension (SURVEY §2.K4 surface): registers the library's native
   * functions into the SQL function registry, so the raw-SQL surface
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minGramMd5Descriptor)
     ext.injectFunction(GraftExtensions.distinctNgramsDescriptor)
     ext.injectFunction(GraftExtensions.bpeApplyDescriptor)
+    ext.injectFunction(GraftExtensions.charBigramCountsDescriptor)
   }
 }
 
@@ -201,6 +202,20 @@ object GraftExtensions {
       case other => wrongNumArgs("bpe_apply", 3, other.size)
     })
 
+  val charBigramCountsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_bigram_counts"),
+    new ExpressionInfo(
+      classOf[CharBigramCounts].getCanonicalName,
+      null,
+      "char_bigram_counts",
+      "char_bigram_counts(s) - per-row histogram of the 2-codepoint windows of s as " +
+        "array<struct<bg string, cnt bigint>> in first-occurrence order (empty for < 2 codepoints)",
+      ""),
+    {
+      case Seq(s) => CharBigramCounts(s)
+      case other => wrongNumArgs("char_bigram_counts", 1, other.size)
+    })
+
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -215,5 +230,7 @@ object GraftExtensions {
       distinctNgramsDescriptor._1, distinctNgramsDescriptor._2, distinctNgramsDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       bpeApplyDescriptor._1, bpeApplyDescriptor._2, bpeApplyDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      charBigramCountsDescriptor._1, charBigramCountsDescriptor._2, charBigramCountsDescriptor._3)
   }
 }

@@ -149,7 +149,7 @@ object Refinery {
     * there is NO explode and NO shuffle before the contract sort. Cost is
     * linear in corpus tokens; memory is bounded by document length.
     *
-    * The round-robin repartition before the contract sort is a SAMPLER
+    * The keyed repartition before the contract sort is a SAMPLER
     * BARRIER (r11): with the projection feeding orderBy directly, the
     * range exchange's bounds sampler re-executes the whole md5 + window-
     * minima pipeline a second time (Scratch at sf1: two 0.86 s stages,
@@ -177,7 +177,10 @@ object Refinery {
         array_min(col("sel")).as("fp_min"),
         (size(col("sel")).cast("double") / (size(col("hs")) - lit(3)).cast("double"))
           .as("density"))
-      .repartition(8)
+      // keyed, not round-robin: hashpartitioning skips RoundRobin's
+      // defensive sortBeforeRepartition and scales with
+      // spark.sql.shuffle.partitions instead of a literal
+      .repartition(col("doc_id"))
       .orderBy(col("doc_id"))
 
   val winnowFingerprintsSql: String =

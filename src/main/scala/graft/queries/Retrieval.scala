@@ -229,13 +229,24 @@ object Retrieval {
     // seed filter evaluates two substrings per char row — still a net
     // 72 → 52 core-s win over the doubled pipeline, and the wall win is
     // what Bench pays).
-    val big = docs
+    // Round-11 late pass: the per-character Generate + 4.59M-group partial
+    // aggregate (the remaining ~52 core-s stage at sf1) folds into the
+    // codegen [[graft.functions.CharBigramCounts]] per-row histogram — the
+    // plan now starts from already-counted (bg, cnt) pairs (~92/doc) and
+    // never materializes the 65M-row character stream. The doc_id-hash
+    // repartition is the shared materialization point for the c2 subtree
+    // and the main stream (replacing the old groupBy exchange); hash, not
+    // roundRobin, because RoundRobinPartitioning pays a defensive
+    // per-partition sort (sortBeforeRepartition) that a keyed exchange
+    // skips. Scratch A/B at sf1: 3.84 → 2.57 s wall (round open: 4.43-
+    // 4.69 s), sf3 10.3 → 5.5 s; identical output (oracle +
+    // RetrievalSpec recompute).
+    val docBg = docs
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
-        col("text"))
-      .select(col("doc_id"), expr("substring(text, i, 2)").as("bg"))
+        explode(graft.functions.CharBigramCounts.char_bigram_counts(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.bg").as("bg"), col("e.cnt").as("cnt"))
       .where(col("bg").isNotNull && expr("substring(bg, 1, 1)").isNotNull)
-    val docBg = big.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .repartition(col("doc_id"))
     val c2 = docBg.groupBy(col("bg")).agg(sum(col("cnt")).as("c2"))
     val c1 = c2
       .groupBy(expr("substring(bg, 1, 1)").as("a"))

@@ -921,7 +921,10 @@ object TextOps {
       // post-threshold) pair set so the sampler re-reads a shuffle file
       // instead of recomputing the plan. Costs one extra shuffle of the
       // RESULT rows only — scale-safe by construction.
-      .repartition(8)
+      // keyed, not round-robin: hashpartitioning skips RoundRobin's
+      // defensive sortBeforeRepartition and scales with
+      // spark.sql.shuffle.partitions instead of a literal
+      .repartition(col("doc_a"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

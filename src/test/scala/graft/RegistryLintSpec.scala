@@ -188,9 +188,10 @@ class RegistryLintSpec extends AnyFunSuite {
   }
 
   test("DistinctNgrams codegen expression equals array_distinct(transform(...)) element for element") {
-    // the composed form it replaces is quadratic per row on string arrays
-    // (ArrayDistinct's hash fast path covers primitives only) — semantics
-    // including element ORDER (first occurrence) must be identical
+    // the composed form it replaces pays an interpreted per-element
+    // transform() lambda + concat Invoke (BENCH_NOTES §20 — ArrayDistinct
+    // itself is linear on strings); semantics including element ORDER
+    // (first occurrence) must be identical
     val composed = expr(
       "array_distinct(transform(sequence(1, size(t) - 2), " +
         "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))")
@@ -225,6 +226,42 @@ class RegistryLintSpec extends AnyFunSuite {
     assert(one === Seq("a", "b"))
   }
 
+  test("CharBigramCounts equals the explode+substring+count composed form on every fixture doc") {
+    // the composed form it replaces materialized one row per character;
+    // counts AND first-occurrence order must both match it exactly for
+    // docs with >= 2 codepoints (for shorter docs the retired composed
+    // form had a sequence(1,0)=[1,0] degenerate divergence — scaladoc)
+    val composed = Tables.documents(spark, Sf0001)
+      .where(length(col("text")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 1)")).as("i"), col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 2)").as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val native = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        explode(graft.functions.CharBigramCounts.char_bigram_counts(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.bg"), col("e.cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(native === composed)
+  }
+
+  test("CharBigramCounts edge semantics: empty, 1-codepoint, multibyte, first-occurrence order") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, ""), (2L, "x"), (3L, "abab"), (4L, "héé") // é is 2 UTF-8 bytes
+    ).toDF("id", "text")
+      .select(col("id"),
+        graft.functions.CharBigramCounts.char_bigram_counts(col("text")).as("a"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getString(0), e.getLong(1)))).toMap
+    assert(got(1L) === Seq.empty)
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq(("ab", 2L), ("ba", 1L))) // first-occurrence order, counted
+    assert(got(4L) === Seq(("hé", 1L), ("éé", 1L))) // codepoint windows, not byte windows
+  }
+
   test("min_gram_md5 registers into the SQL surface, matching the Column API") {
     GraftExtensions.register(spark)
     val df = Tables.documents(spark, Sf0001).limit(50)
@@ -234,6 +271,20 @@ class RegistryLintSpec extends AnyFunSuite {
       .select(graft.functions.MinGramMd5.min_gram_md5(col("text"), 8).as("f"))
     assert(viaSql.collect().map(_.getString(0)).sorted
       === viaCol.collect().map(_.getString(0)).sorted)
+  }
+
+  test("char_bigram_counts registers into the SQL surface, matching the Column API") {
+    GraftExtensions.register(spark)
+    val df = Tables.documents(spark, Sf0001).limit(50)
+    df.createOrReplaceTempView("cbc_t")
+    val viaSql = spark.sql(
+      "SELECT doc_id, e.bg, e.cnt FROM cbc_t LATERAL VIEW explode(char_bigram_counts(text)) AS e")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val viaCol = df.select(col("doc_id"),
+        explode(graft.functions.CharBigramCounts.char_bigram_counts(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.bg"), col("e.cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(viaSql.nonEmpty && viaSql.toSeq === viaCol.toSeq)
   }
 
   // ADVICE r8: the INVALID_PARAMETER_VALUE.PATTERN path itself had no
