@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-11 provenance axis: URL canonicalization + per-domain dedup
+  * accounting — the CommonCrawl-style bookkeeping a crawl-derived corpus
+  * needs before any content-level dedup runs (VERDICT r10 "next round"
+  * item 6). The same page is typically crawled under many raw URLs
+  * (scheme/host case, `www.` prefixes, default ports, tracking params,
+  * param order, duplicate slashes, trailing slashes, fragments); URL-level
+  * dedup collapses those BEFORE the expensive text passes, and per-domain
+  * duplication rates drive crawl-budget and mixture decisions.
+  *
+  * The fixture corpus carries provenance as `source` (the crawl bucket)
+  * but no URL column, so both engines derive the SAME deterministic messy
+  * URL per document from (doc_id, source, lang) — a documented
+  * fixture-synth step, mirrored verbatim in the oracle SQL, exercising
+  * every rule the canonicalizer owns (the planted-URL edge cases live in
+  * ProvenanceSpec). What is under test is the canonicalizer and the
+  * accounting, not the synthesis.
+  *
+  * Canonicalization rules (single-pass, order matters):
+  *   1. drop the fragment (`#...`);
+  *   2. lowercase scheme and host; strip ONE leading `www.`;
+  *   3. drop the port iff it is the scheme default (https:443, http:80) —
+  *      a genuinely non-default port (`:8080`) survives;
+  *   4. collapse runs of `/` in the path, strip one trailing slash
+  *      (root path stays `/`; an empty path becomes `/`);
+  *   5. drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) and empty
+  *      params, then sort the survivors byte-wise; duplicates are KEPT
+  *      (dropping them would conflate `?a=1&a=2` with `?a=1` — a semantic
+  *      change, not a normalization).
+  * Percent-encoding normalization is deliberately out of scope: %-escape
+  * case-folding requires decode/re-encode with a reserved-set exemption
+  * table, and doing it half-way (case-fold only) corrupts `%2F` vs `/`
+  * distinctions. Documented here so the omission is a decision, not a gap.
+  *
+  * Scale posture: the canonicalizer is a per-row projection of regexp /
+  * array built-ins — no shuffle, no UDF, fully pushed into the scan
+  * stage (the regexp chain codegens; the two array-HOF subexpressions —
+  * `filter`/`array_sort` over a ≤5-element params array — evaluate
+  * per-row interpreted, measured immaterial next to the regexps; no
+  * Generate, no shuffle). The accounting query's two COUNT(DISTINCT)
+  * columns plan as Catalyst's Expand(×3)+gid rewrite: a partial-agg'd
+  * shuffle keyed (domain, variant, gid) — map-side combine holds the
+  * shuffled volume to ~|distinct variants|, measured 5939 records for
+  * 5000 docs at sf0.1 — then a |domains|-row rollup shuffle. At 100 TB
+  * both keys are fine-grained (no hot single reducer) and the second
+  * exchange is ~|domains| rows.
+  */
+object Provenance {
+
+  // ------------------------------------------------ fixture URL synthesis
+  /** Deterministic messy URL per document (mirrored in every oracle's
+    * `raw` CTE). The %-toggles are chosen so each canonicalization rule
+    * fires on a fixture-sized slice: scheme/host case (%2), `www.` (%3),
+    * default port (%5), duplicate slash (%4), trailing slash (%2),
+    * tracking params + param order (%2), fragment (%5). The canonical
+    * form depends ONLY on (source, lang, doc_id % 7), so canonicalization
+    * provably collapses docs that differ in any toggle — the accounting
+    * query's duplicate mass is deterministic, not incidental.
+    */
+  def urlRaw: Column = {
+    val k = (col("doc_id") % 7).cast("string")
+    concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM"),
+      when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/"), col("lang"),
+      when(col("doc_id") % 4 === 0, lit("//")).otherwise(lit("/")),
+      lit("p"), k,
+      when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, concat(lit("?a=1&utm_source=feed&b=2&id="), k))
+        .otherwise(concat(
+          lit("?b=2&id="), k, lit("&fbclid="), col("doc_id").cast("string"), lit("&a=1"))),
+      when(col("doc_id") % 5 === 0, concat(lit("#sec"), col("doc_id").cast("string")))
+        .otherwise(lit("")))
+  }
+
+  /** The `raw` CTE every oracle shares — byte-identical URL synthesis. */
+  private val rawCte: String =
+    """raw AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) || '.Example.COM' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |    '/' || lang || (CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '/' END) ||
+      |    'p' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '?a=1&utm_source=feed&b=2&id=' || CAST(doc_id % 7 AS VARCHAR)
+      |          ELSE '?b=2&id=' || CAST(doc_id % 7 AS VARCHAR) || '&fbclid=' || CAST(doc_id AS VARCHAR) || '&a=1' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url_raw
+      |  FROM documents
+      |)""".stripMargin
+
+  // --------------------------------------------------- the canonicalizer
+  /** Canonical host of a URL column: lowercased authority, port and one
+    * leading `www.` stripped. This is the per-domain accounting key.
+    */
+  def urlHost(u: Column): Column = {
+    val auth = regexp_extract(
+      regexp_replace(u, "#.*$", ""), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    regexp_replace(regexp_replace(lower(auth), ":[0-9]+$", ""), "^www\\.", "")
+  }
+
+  /** Full canonical URL (rules in the object scaladoc). Pure projection:
+    * regexp extraction/rewrite + a ≤5-element array filter/sort — no
+    * shuffle, no UDF. Spark regex notes vs the oracle: Spark's
+    * `regexp_replace` is global and backrefs are `$1`; DuckDB's replaces
+    * the FIRST match unless flagged 'g' and backrefs are `\1` — the
+    * oracle SQL flags the one multi-match rewrite (`/{2,}`) and uses
+    * `\1`, so both engines compute the identical function.
+    */
+  def urlCanonical(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val host = regexp_replace(regexp_replace(lower(auth), ":[0-9]+$", ""), "^www\\.", "")
+    val keepPort = (port =!= "") &&
+      !((scheme === "https" && port === "443") || (scheme === "http" && port === "80"))
+    val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
+    val path0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path1 = regexp_replace(regexp_replace(path0, "/{2,}", "/"), "(.)/$", "$1")
+    val path = when(path1 === "", lit("/")).otherwise(path1)
+    val qstr = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(split(qstr, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid=") &&
+        !p.startsWith("gclid=") && !p.startsWith("ref="))
+    val canonQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, portPart, path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+  }
+
+  /** The canonicalizer as oracle SQL over a column expression `u` —
+    * kept textually tiny by substitution so both queries share ONE
+    * definition (drift between the two oracles would be a silent bug).
+    */
+  private def canonSql(u: String): String = {
+    val noFrag = s"regexp_replace($u, '#.*$$', '')"
+    val scheme = s"lower(regexp_extract($noFrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val auth = s"regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    val port = s"regexp_extract($auth, ':([0-9]+)$$', 1)"
+    val host = s"regexp_replace(regexp_replace(lower($auth), ':[0-9]+$$', ''), '^www\\.', '')"
+    val path1 = s"regexp_replace(regexp_replace(" +
+      s"regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), " +
+      s"'/{2,}', '/', 'g'), '(.)/$$', '\\1')"
+    val qstr = s"regexp_extract($noFrag, '\\?(.*)$$', 1)"
+    val canonQ = s"array_to_string(list_sort(list_filter(string_split($qstr, '&'), " +
+      s"p -> p <> '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=') " +
+      s"AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'ref='))), '&')"
+    s"$scheme || '://' || $host || " +
+      s"(CASE WHEN $port <> '' AND NOT ($scheme = 'https' AND $port = '443') " +
+      s"AND NOT ($scheme = 'http' AND $port = '80') THEN ':' || $port ELSE '' END) || " +
+      s"(CASE WHEN $path1 = '' THEN '/' ELSE $path1 END) || " +
+      s"(CASE WHEN $canonQ = '' THEN '' ELSE '?' || $canonQ END)"
+  }
+
+  private def hostSql(u: String): String = {
+    val noFrag = s"regexp_replace($u, '#.*$$', '')"
+    val auth = s"regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    s"regexp_replace(regexp_replace(lower($auth), ':[0-9]+$$', ''), '^www\\.', '')"
+  }
+
+  // ------------------------------------------------- q: url_canonicalize
+  /** Per-document canonicalization: (doc_id, url_raw, url_canon, domain).
+    * Pure projection over the documents scan — the library-surface demo
+    * of [[urlCanonical]]/[[urlHost]]; the accounting lives in
+    * `domain_dedup_accounting`.
+    */
+  def urlCanonicalize(spark: SparkSession, sf: String): DataFrame = {
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), urlRaw.as("url_raw"))
+      .withColumn("url_canon", urlCanonical(col("url_raw")))
+      .withColumn("domain", urlHost(col("url_raw")))
+      .orderBy(col("doc_id"))
+  }
+
+  val urlCanonicalizeSql: String =
+    s"""WITH $rawCte
+       |SELECT doc_id, url_raw,
+       |  ${canonSql("url_raw")} AS url_canon,
+       |  ${hostSql("url_raw")} AS domain
+       |FROM raw ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- q: domain_dedup_accounting
+  /** Per-domain URL-dedup accounting: how many raw URL variants each
+    * domain contributes, how many survive canonicalization, and the
+    * implied pre-content-dedup duplication rate — the table a crawl
+    * scheduler reads to spot mirror-heavy domains. Plan shape: Expand(×3)
+    * distinct-agg rewrite, two keyed shuffles (see object scaladoc).
+    */
+  def domainDedupAccounting(spark: SparkSession, sf: String): DataFrame = {
+    val canon = Tables.documents(spark, sf)
+      .select(col("doc_id"), urlRaw.as("url_raw"))
+      .select(
+        urlHost(col("url_raw")).as("domain"),
+        col("url_raw"),
+        urlCanonical(col("url_raw")).as("url_canon"))
+    canon.groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url_raw")).as("n_raw_variants"),
+        countDistinct(col("url_canon")).as("n_canonical"))
+      .withColumn("url_dup_docs", col("n_docs") - col("n_canonical"))
+      .withColumn(
+        "url_dup_rate",
+        col("url_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("domain"))
+  }
+
+  val domainDedupAccountingSql: String =
+    s"""WITH $rawCte,
+       |canon AS (
+       |  SELECT ${hostSql("url_raw")} AS domain, url_raw,
+       |    ${canonSql("url_raw")} AS url_canon
+       |  FROM raw
+       |), agg AS (
+       |  SELECT domain, COUNT(*) AS n_docs,
+       |    COUNT(DISTINCT url_raw) AS n_raw_variants,
+       |    COUNT(DISTINCT url_canon) AS n_canonical
+       |  FROM canon GROUP BY domain
+       |)
+       |SELECT domain, n_docs, n_raw_variants, n_canonical,
+       |  n_docs - n_canonical AS url_dup_docs,
+       |  CAST(n_docs - n_canonical AS DOUBLE) / CAST(n_docs AS DOUBLE) AS url_dup_rate
+       |FROM agg ORDER BY domain""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("url_canonicalize", urlCanonicalize _, urlCanonicalizeSql),
+    ("domain_dedup_accounting", domainDedupAccounting _, domainDedupAccountingSql))
+}
