@@ -78,6 +78,53 @@ class ProvenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("urlCanonical: randomized URLs — idempotent, normal form, toggle-invariant (seeded)") {
+    val rnd = new scala.util.Random(4242)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    // a base URL and a random "recrawl variant" that differs only in the
+    // aspects canonicalization removes — the pair must collapse
+    def basePair(): (String, String) = {
+      val host = pick(Seq("alpha.com", "beta.org", "c.d.example.net"))
+      val segs = (1 to rnd.nextInt(3)).map(_ => pick(Seq("a", "b2", "x-y")))
+      val params = rnd.shuffle(Seq("k=1", "q=z", "id=9").take(rnd.nextInt(4)))
+      def variant(): String = {
+        val scheme = pick(Seq("https", "HTTPS", "htTps"))
+        val www = pick(Seq("", "www.", "WWW."))
+        val hostCase = if (rnd.nextBoolean()) host.toUpperCase else host
+        val port = pick(Seq("", ":443"))
+        val path =
+          if (segs.isEmpty) pick(Seq("", "/"))
+          else segs.map(s => "/".*(1 + rnd.nextInt(2)) + s).mkString +
+            pick(Seq("", "/"))
+        val track = pick(Seq(Seq.empty, Seq("utm_x=1"), Seq("fbclid=z", ""), Seq("ref=r")))
+        val qs = rnd.shuffle(params ++ track)
+        val q = if (qs.isEmpty) "" else "?" + qs.mkString("&")
+        val frag = pick(Seq("", "#f", "#sec/2?x=1"))
+        s"$scheme://$www$hostCase$port$path$q$frag"
+      }
+      (variant(), variant())
+    }
+    val pairs = (1 to 200).map(_ => basePair())
+    val urls = pairs.flatMap(p => Seq(p._1, p._2))
+    val canon = canonOf(urls)
+    // toggle-invariance: both members of a pair collapse to one canonical
+    pairs.foreach { case (u1, u2) =>
+      assert(canon(u1) === canon(u2), s"variants diverged: $u1 vs $u2")
+    }
+    // normal form + idempotence
+    val normal = ("^(https?)://[a-z0-9.-]+(:[0-9]+)?(/[^?#]*)?(\\?[^#]*)?$").r
+    val again = canonOf(canon.values.toSeq.distinct)
+    canon.values.foreach { c =>
+      assert(normal.findFirstIn(c).isDefined, s"not normal: $c")
+      assert(!c.drop("https://".length).contains("//"), s"slash run survives: $c")
+      assert(!c.contains("#"), s"fragment survives: $c")
+      assert(!c.contains("utm_") && !c.contains("fbclid="), s"tracking survives: $c")
+      val q = c.dropWhile(_ != '?').drop(1)
+      if (q.nonEmpty) assert(q.split("&").toSeq === q.split("&").toSeq.sorted)
+      assert(again(c) === c, s"not idempotent: $c -> ${again(c)}")
+    }
+  }
+
   test("domain_dedup_accounting: plain-Scala recompute from the synthesis rule") {
     val docs = Tables.documents(spark, Sf0001)
       .select(col("doc_id"), col("source"), col("lang")).collect()
