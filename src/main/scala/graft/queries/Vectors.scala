@@ -197,6 +197,82 @@ object Vectors {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin
 
+  // ------------------------------------ semantic decontamination screen
+  /** Embedding-space decontamination: rank the corpus by similarity to a
+    * held-out benchmark slice (vec_id % 50 == 0 — the "eval set") and
+    * emit the top-100 review queue: each corpus vector's MAX cosine over
+    * the benchmark and the benchmark vector that achieves it (ties →
+    * lowest bench id, deterministic). This is the semantic counterpart
+    * of `contamination_check` (which screens on exact token prefixes):
+    * paraphrased or re-formatted benchmark leakage shares no prefix but
+    * sits at the top of this ranking. A review QUEUE rather than a fixed
+    * threshold because the right cutoff is corpus-specific — the fixture
+    * embeddings are i.i.d. gaussians whose cross-slice max cosine tops
+    * out ≈0.49, so any conventional 0.9x threshold would make the query
+    * vacuously empty (measured; the spec pins the ranking itself).
+    *
+    * Scale posture — the honest 100 TB decontamination shape: a real
+    * eval set is FIXED-SIZE (it does not grow when the corpus does), so
+    * the bench slice is capped to the 256 lowest bench ids
+    * (deterministic; every fixture SF ≤ sf0.1 falls below the cap, so
+    * the oracle exercises both regimes). The capped side BROADCASTS and
+    * the corpus is scanned ONCE — BroadcastNestedLoopJoin fan-out
+    * ×|bench| collapses in the same stage via partial max aggregation
+    * keyed on the (already unique) corpus vec_id, then TakeOrdered(100).
+    * Cost is |corpus|·256 VecDots: linear in the corpus. Without the
+    * cap this query IS quadratic on the fixtures (bench = vec_id % 50
+    * grows with the corpus) — measured e = 2.94 sf1→sf3 before the cap,
+    * 21.4 s at sf3; the cap is a semantic statement about eval sets,
+    * not a benchmark dodge, and the uncapped form is exactly the
+    * guarded all-pairs family's territory. Unlike the knn family there
+    * is no per-query index to train — the bench slice changes per
+    * audit, the corpus pass is the cost.
+    */
+  def contaminationSemantic(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(spark, sf).select(
+      col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val bench = e.where(col("vec_id") % 50 === 0).select(
+        col("vec_id").as("bench_id"), col("embedding").as("bemb"), col("norm").as("bnorm"))
+      .orderBy(col("bench_id")).limit(256)
+    val corpus = Det.spreadSmallScan(spark, e.where(col("vec_id") % 50 =!= 0))
+    corpus.crossJoin(broadcast(bench))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        (dot(col("embedding"), col("bemb")) / (col("norm") * col("bnorm"))).as("cosine"),
+        (-col("bench_id")).as("neg_bench"))).as("m"))
+      .select(
+        col("vec_id"),
+        (-col("m.neg_bench")).as("best_bench"),
+        col("m.cosine").as("max_cosine"))
+      .orderBy(col("max_cosine").desc, col("vec_id").asc)
+      .limit(100)
+  }
+
+  val contaminationSemanticSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id AS bench_id, embedding AS bemb, norm AS bnorm
+       |  FROM e WHERE vec_id % 50 = 0
+       |  ORDER BY bench_id LIMIT 256
+       |), c AS (
+       |  SELECT vec_id, embedding, norm FROM e WHERE vec_id % 50 <> 0
+       |), s AS (
+       |  SELECT c.vec_id, b.bench_id,
+       |    ${dotSql("c.embedding", "b.bemb")} / (c.norm * b.bnorm) AS cosine
+       |  FROM c CROSS JOIN b
+       |), r AS (
+       |  SELECT vec_id, bench_id, cosine,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bench_id ASC) AS rn
+       |  FROM s
+       |)
+       |SELECT vec_id, bench_id AS best_bench, cosine AS max_cosine
+       |FROM r WHERE rn = 1
+       |ORDER BY max_cosine DESC, vec_id ASC LIMIT 100""".stripMargin
+
   // --------------------------------------- north star: embedding-cosine dedup
   /** Embedding-cosine near-duplicate detection — the vector member of the
     * dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard / THIS):
@@ -1449,6 +1525,7 @@ object Vectors {
     ("knn_brute_force", knnBruteForce _, knnBruteForceSql),
     ("knn_quantized", knnQuantized _, knnQuantizedSql),
     ("cosine_topk", cosineTopk _, cosineTopkSql),
+    ("contamination_semantic", contaminationSemantic _, contaminationSemanticSql),
     ("dedup_embedding_cosine", dedupEmbeddingCosine _, dedupEmbeddingCosineSql),
     ("dedup_embedding_lsh", dedupEmbeddingLsh _, dedupEmbeddingLshSql),
     ("dedup_embedding_lsh_eqmass", dedupEmbeddingLshEqualMass _, dedupEmbeddingLshEqualMassSql),

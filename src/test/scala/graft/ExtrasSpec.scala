@@ -282,4 +282,32 @@ class ExtrasSpec extends AnyFunSuite {
     val viaTwoPhase = Windows.windowRankTwoPhaseOn(df).collect().map(_.toSeq)
     assert(viaTwoPhase === viaWindow)
   }
+
+  test("contamination_semantic: exact plain-Scala recompute of the review queue on sf0.001") {
+    import graft.queries.Vectors
+    // replicate VecDot's exact arithmetic: float elements widened to
+    // double, multiply-accumulate left-to-right from 0.0
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val all = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val bench = all.filter(_._1 % 50 == 0).sortBy(_._1).take(256)
+    val corpus = all.filter(_._1 % 50 != 0)
+    assert(bench.nonEmpty && corpus.nonEmpty)
+    val want = corpus.map { case (id, emb) =>
+      val n = math.sqrt(dot(emb, emb))
+      val (bestCos, bestId) = bench.map { case (bid, bemb) =>
+        (dot(emb, bemb) / (n * math.sqrt(dot(bemb, bemb))), bid)
+      }.maxBy { case (c, bid) => (c, -bid) }
+      (id, bestId, bestCos)
+    }.sortBy { case (id, _, c) => (-c, id) }.take(100)
+    val got = Vectors.contaminationSemantic(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === math.min(100, corpus.length))
+    assert(got.toSeq === want.toSeq) // exact doubles: same fold, same order
+    // the queue is a ranking, never vacuous, and cosines are in [-1, 1]
+    got.foreach { case (_, _, c) => assert(c >= -1.0 && c <= 1.0) }
+    assert(got.map(_._3).toSeq === got.map(_._3).sortBy(-_).toSeq)
+  }
 }
