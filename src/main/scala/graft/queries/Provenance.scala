@@ -36,6 +36,11 @@ import graft.Tables
   * case-folding requires decode/re-encode with a reserved-set exemption
   * table, and doing it half-way (case-fold only) corrupts `%2F` vs `/`
   * distinctions. Documented here so the omission is a decision, not a gap.
+  * Inputs are assumed ABSOLUTE urls with a scheme (crawl records always
+  * carry one); a scheme-less string degrades to the `:///`-prefixed
+  * empty-scheme/empty-host normal form (query params still normalize) —
+  * pinned in ProvenanceSpec so the behavior is a documented contract,
+  * not an accident.
   *
   * Scale posture: the canonicalizer is a per-row projection of regexp /
   * array built-ins — no shuffle, no UDF, fully pushed into the scan

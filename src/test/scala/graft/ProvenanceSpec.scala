@@ -45,7 +45,10 @@ class ProvenanceSpec extends AnyFunSuite {
       // fragment-only tail; path collapse of 3+ slashes
       "https://x.com///a///b#c" -> "https://x.com/a/b",
       // params sort byte-wise
-      "https://x.com/p?z=1&a=2&m=3" -> "https://x.com/p?a=2&m=3&z=1")
+      "https://x.com/p?z=1&a=2&m=3" -> "https://x.com/p?a=2&m=3&z=1",
+      // scheme-less input: the documented degenerate normal form (object
+      // scaladoc) — empty scheme/host, root path; NOT silently parsed
+      "example.com/x?a=1" -> ":///?a=1")
     val got = canonOf(cases.keys.toSeq)
     cases.foreach { case (raw, want) =>
       assert(got(raw) === want, s"for $raw")
