@@ -175,17 +175,19 @@ object Bench {
     // the sf they were measured at — sf0.1 by default, or an explicit
     // SPARK_GRAFT_FLOORS=<path> for other scales (docs/bench_floors_sf1.json
     // is committed for the sf1 scale-proof runs).
-    val floors: Map[String, Double] = {
-      val f = sys.env.get("SPARK_GRAFT_FLOORS").map(new java.io.File(_))
-        .getOrElse(new java.io.File("docs/bench_floors.json"))
-      val floorsApply = sys.env.contains("SPARK_GRAFT_FLOORS") ||
-        sfDir.replaceAll("/+$", "").endsWith("sf0.1")
-      if (!floorsApply || !f.exists()) Map.empty
+    def readFloors(f: java.io.File): Map[String, Double] =
+      if (!f.exists()) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
+    val floors: Map[String, Double] = {
+      val f = sys.env.get("SPARK_GRAFT_FLOORS").map(new java.io.File(_))
+        .getOrElse(new java.io.File("docs/bench_floors.json"))
+      val floorsApply = sys.env.contains("SPARK_GRAFT_FLOORS") ||
+        sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+      if (!floorsApply) Map.empty else readFloors(f)
     }
     val RetryOver = 5.0; val AcceptWithin = 2.0; val MaxRetries = 2
     var retries = 0
@@ -207,6 +209,37 @@ object Bench {
     }.toSeq.sorted
     val timed = results.collect { case (k, (Some(v), _)) => k -> v }
     val errs = results.collect { case (k, (_, Some(e))) => k -> e }
+    // Host-window canary IN THE ARTIFACT (VERDICT r11 item 1): BENCH_r11's
+    // 2.20× headline was pure host degradation, adjudicable only by a judge
+    // re-measuring both engines. The canary makes a taxed window
+    // machine-readable: `canary_s` is the suite's timing of the compute-
+    // bound knn_brute_force row (measured here directly when a dev subset
+    // excludes it), `window_tax` is canary_s over the committed cross-run
+    // floor for THIS scale factor (docs/bench_floors*.json — resolved by
+    // sfDir suffix when the retry-gating floors map is inapplicable, so
+    // sf1/sf3 artifacts self-report too). window_tax ≈ 1 ⇒ trust
+    // absolutes; window_tax ≫ 1 ⇒ the whole run is inflated by roughly
+    // that factor and only same-window comparisons are meaningful.
+    val CanaryQuery = "knn_brute_force"
+    val canaryS: Option[Double] = timed.get(CanaryQuery).orElse {
+      SparkEntry.queries.get(CanaryQuery).flatMap { fn =>
+        try { runAction(fn(spark, sfDir)) } catch { case _: Throwable => () } // warm codegen
+        (1 to 2).map(_ => timeOnce(fn)).collect { case (t, None) => t }
+          .minOption.map(round3)
+      }
+    }
+    val canaryFloor: Option[Double] = floors.get(CanaryQuery).orElse {
+      val base = sfDir.replaceAll("/+$", "")
+      val perSf =
+        if (base.endsWith("sf1")) Some("docs/bench_floors_sf1.json")
+        else if (base.endsWith("sf3")) Some("docs/bench_floors_sf3.json")
+        else if (base.endsWith("sf0.1")) Some("docs/bench_floors.json")
+        else None
+      perSf.flatMap(p => readFloors(new java.io.File(p)).get(CanaryQuery))
+    }
+    val windowTax: Option[Double] =
+      for (c <- canaryS; f <- canaryFloor if f > 0) yield round3(c / f)
+    val canaryJson = s""""canary":"$CanaryQuery","canary_s":${canaryS.getOrElse(-1)},"window_tax":${windowTax.getOrElse(-1)}"""
     def qJson(m: Seq[(String, Double)]) =
       m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errs.toSeq.sortBy(_._1)
@@ -238,9 +271,9 @@ object Bench {
       s""""aqe":$aqe,"shuffle":$sh,"broadcast":"$bc""""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"$headKey":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"$headKey":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,$canaryJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,$canaryJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(fullLine) finally w.close()

@@ -25,17 +25,27 @@ import graft.Tables
   *   1. drop the fragment (`#...`);
   *   2. lowercase scheme and host; strip ONE leading `www.`;
   *   3. drop the port iff it is the scheme default (https:443, http:80) —
-  *      a genuinely non-default port (`:8080`) survives;
+  *      a genuinely non-default port (`:8080`) survives; a bare trailing
+  *      `:` with no port digits (`https://x.com:/p`) is stripped with it
+  *      (ADVICE r11 — previously an undocumented degenerate form);
   *   4. collapse runs of `/` in the path, strip one trailing slash
   *      (root path stays `/`; an empty path becomes `/`);
-  *   5. drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) and empty
+  *   5. percent-encoding normalization of path and query (RFC 3986
+  *      §6.2.2.1–.2): every valid `%XX` escape gets UPPERCASE hex, and
+  *      escapes of UNRESERVED octets (ALPHA / DIGIT / `-` `.` `_` `~`)
+  *      are DECODED — `%41` → `A`, `%7e` → `~`. Escapes of anything else
+  *      (`%2F`, `%3D`, …) are preserved case-folded, never decoded:
+  *      decoding a reserved octet changes which bytes are delimiters
+  *      (`%2F` vs `/`) — the exemption table IS the unreserved set.
+  *      Invalid escapes (`%` not followed by two hex digits, including a
+  *      bare trailing `%`) pass through byte-identical. Decoding runs
+  *      BEFORE the param filter/sort, so `%75tm_source=x` is recognized
+  *      as tracking. Hosts are not %-normalized (escaped octets in a
+  *      crawl-record authority are malformed input, left visible);
+  *   6. drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) and empty
   *      params, then sort the survivors byte-wise; duplicates are KEPT
   *      (dropping them would conflate `?a=1&a=2` with `?a=1` — a semantic
   *      change, not a normalization).
-  * Percent-encoding normalization is deliberately out of scope: %-escape
-  * case-folding requires decode/re-encode with a reserved-set exemption
-  * table, and doing it half-way (case-fold only) corrupts `%2F` vs `/`
-  * distinctions. Documented here so the omission is a decision, not a gap.
   * Inputs are assumed ABSOLUTE urls with a scheme (crawl records always
   * carry one); a scheme-less string degrades to the `:///`-prefixed
   * empty-scheme/empty-host normal form (query params still normalize) —
@@ -65,7 +75,12 @@ object Provenance {
     * tracking params + param order (%2), fragment (%5). The canonical
     * form depends ONLY on (source, lang, doc_id % 7), so canonicalization
     * provably collapses docs that differ in any toggle — the accounting
-    * query's duplicate mass is deterministic, not incidental.
+    * query's duplicate mass is deterministic, not incidental. Rule 5's
+    * toggles (both %2, r12): odd docs spell `b=2` as `b=%32` (unreserved
+    * → decodes back) and the shared `p=x%2Fy` param carries lowercase
+    * `%2f` on odd docs (reserved → case-folds, never decodes) — so the
+    * oracle exercises decode, case-fold and the kept-reserved exemption,
+    * not just the planted ProvenanceSpec urls.
     */
   def urlRaw: Column = {
     val k = (col("doc_id") % 7).cast("string")
@@ -80,9 +95,11 @@ object Provenance {
       when(col("doc_id") % 4 === 0, lit("//")).otherwise(lit("/")),
       lit("p"), k,
       when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
-      when(col("doc_id") % 2 === 0, concat(lit("?a=1&utm_source=feed&b=2&id="), k))
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?a=1&utm_source=feed&b=2&id="), k, lit("&p=x%2Fy")))
         .otherwise(concat(
-          lit("?b=2&id="), k, lit("&fbclid="), col("doc_id").cast("string"), lit("&a=1"))),
+          lit("?b=%32&id="), k, lit("&fbclid="), col("doc_id").cast("string"),
+          lit("&a=1&p=x%2fy"))),
       when(col("doc_id") % 5 === 0, concat(lit("#sec"), col("doc_id").cast("string")))
         .otherwise(lit("")))
   }
@@ -98,20 +115,46 @@ object Provenance {
       |    '/' || lang || (CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '/' END) ||
       |    'p' || CAST(doc_id % 7 AS VARCHAR) ||
       |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
-      |    (CASE WHEN doc_id % 2 = 0 THEN '?a=1&utm_source=feed&b=2&id=' || CAST(doc_id % 7 AS VARCHAR)
-      |          ELSE '?b=2&id=' || CAST(doc_id % 7 AS VARCHAR) || '&fbclid=' || CAST(doc_id AS VARCHAR) || '&a=1' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '?a=1&utm_source=feed&b=2&id=' || CAST(doc_id % 7 AS VARCHAR) || '&p=x%2Fy'
+      |          ELSE '?b=%32&id=' || CAST(doc_id % 7 AS VARCHAR) || '&fbclid=' || CAST(doc_id AS VARCHAR) || '&a=1&p=x%2fy' END) ||
       |    (CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url_raw
       |  FROM documents
       |)""".stripMargin
 
   // --------------------------------------------------- the canonicalizer
-  /** Canonical host of a URL column: lowercased authority, port and one
-    * leading `www.` stripped. This is the per-domain accounting key.
+  /** Canonical host of a URL column: lowercased authority, port (or a bare
+    * trailing `:`) and one leading `www.` stripped. This is the per-domain
+    * accounting key.
     */
   def urlHost(u: Column): Column = {
     val auth = regexp_extract(
       regexp_replace(u, "#.*$", ""), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    regexp_replace(regexp_replace(lower(auth), ":[0-9]+$", ""), "^www\\.", "")
+    regexp_replace(regexp_replace(lower(auth), ":[0-9]*$", ""), "^www\\.", "")
+  }
+
+  /** Percent-encoding normalization of a URL component (object scaladoc
+    * rule 5). Shape: split on `%`, map each tail piece through a CASE on
+    * its first two chars, re-join — array HOFs over per-row short arrays,
+    * no shuffle, same interpreted-subexpression posture as the params
+    * filter/sort. The unreserved set is RFC 3986 §2.3 verbatim:
+    * 0x41–0x5A, 0x61–0x7A, 0x30–0x39, `-` 0x2D, `.` 0x2E, `_` 0x5F,
+    * `~` 0x7E. `split(…, -1)` keeps trailing empties so a bare trailing
+    * `%` round-trips (piece "" fails the hex test → `%` re-emitted).
+    */
+  def pctNormalize(c: Column): Column = {
+    val parts = split(c, "%", -1)
+    val mapped = transform(slice(parts, lit(2), size(parts)), p => {
+      val hex = upper(p.substr(lit(1), lit(2)))
+      val rest = p.substr(lit(3), length(p))
+      val code = conv(hex, 16, 10).cast("int")
+      val unreserved = (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
+        (code >= 48 && code <= 57) ||
+        code === 45 || code === 46 || code === 95 || code === 126
+      when(!p.rlike("^[0-9A-Fa-f]{2}"), concat(lit("%"), p))
+        .when(unreserved, concat(call_function("chr", code), rest))
+        .otherwise(concat(lit("%"), hex, rest))
+    })
+    concat(element_at(parts, 1), array_join(mapped, ""))
   }
 
   /** Full canonical URL (rules in the object scaladoc). Pure projection:
@@ -127,14 +170,15 @@ object Provenance {
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     val port = regexp_extract(auth, ":([0-9]+)$", 1)
-    val host = regexp_replace(regexp_replace(lower(auth), ":[0-9]+$", ""), "^www\\.", "")
+    val host = regexp_replace(regexp_replace(lower(auth), ":[0-9]*$", ""), "^www\\.", "")
     val keepPort = (port =!= "") &&
       !((scheme === "https" && port === "443") || (scheme === "http" && port === "80"))
     val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
-    val path0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path0 = pctNormalize(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
     val path1 = regexp_replace(regexp_replace(path0, "/{2,}", "/"), "(.)/$", "$1")
     val path = when(path1 === "", lit("/")).otherwise(path1)
-    val qstr = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val qstr = pctNormalize(regexp_extract(noFrag, "\\?(.*)$", 1))
     val params = filter(split(qstr, "&"), p =>
       p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid=") &&
         !p.startsWith("gclid=") && !p.startsWith("ref="))
@@ -147,16 +191,36 @@ object Provenance {
     * kept textually tiny by substitution so both queries share ONE
     * definition (drift between the two oracles would be a silent bug).
     */
+  /** [[pctNormalize]] as oracle SQL over a component expression `u` —
+    * TRY_CAST (not CAST) so a vectorized CASE evaluation of the hex
+    * branches can never error on an invalid escape the first WHEN already
+    * routed away. DuckDB `string_split` keeps trailing empties, matching
+    * Spark's `split(…, -1)`.
+    */
+  private def pctSql(u: String): String = {
+    val code = "TRY_CAST(('0x' || upper(p[1:2])) AS INT)"
+    // coalesce: DuckDB's list_transform/array_to_string over the EMPTY
+    // tail list (a %-free component) yields NULL, not '' — without it
+    // every escape-free url_canon went NULL (caught by the r12 pre-flight)
+    s"(string_split($u, '%')[1] || coalesce(array_to_string(" +
+      s"list_transform(string_split($u, '%')[2:], p -> " +
+      s"CASE WHEN NOT regexp_matches(p, '^[0-9A-Fa-f]{2}') THEN '%' || p " +
+      s"WHEN ($code BETWEEN 65 AND 90) OR ($code BETWEEN 97 AND 122) " +
+      s"OR ($code BETWEEN 48 AND 57) OR $code IN (45, 46, 95, 126) " +
+      s"THEN chr($code) || p[3:] " +
+      s"ELSE '%' || upper(p[1:2]) || p[3:] END), ''), ''))"
+  }
+
   private def canonSql(u: String): String = {
     val noFrag = s"regexp_replace($u, '#.*$$', '')"
     val scheme = s"lower(regexp_extract($noFrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val auth = s"regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
     val port = s"regexp_extract($auth, ':([0-9]+)$$', 1)"
-    val host = s"regexp_replace(regexp_replace(lower($auth), ':[0-9]+$$', ''), '^www\\.', '')"
+    val host = s"regexp_replace(regexp_replace(lower($auth), ':[0-9]*$$', ''), '^www\\.', '')"
     val path1 = s"regexp_replace(regexp_replace(" +
-      s"regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), " +
-      s"'/{2,}', '/', 'g'), '(.)/$$', '\\1')"
-    val qstr = s"regexp_extract($noFrag, '\\?(.*)$$', 1)"
+      pctSql(s"regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)") +
+      s", '/{2,}', '/', 'g'), '(.)/$$', '\\1')"
+    val qstr = pctSql(s"regexp_extract($noFrag, '\\?(.*)$$', 1)")
     val canonQ = s"array_to_string(list_sort(list_filter(string_split($qstr, '&'), " +
       s"p -> p <> '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=') " +
       s"AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'ref='))), '&')"
@@ -170,7 +234,7 @@ object Provenance {
   private def hostSql(u: String): String = {
     val noFrag = s"regexp_replace($u, '#.*$$', '')"
     val auth = s"regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
-    s"regexp_replace(regexp_replace(lower($auth), ':[0-9]+$$', ''), '^www\\.', '')"
+    s"regexp_replace(regexp_replace(lower($auth), ':[0-9]*$$', ''), '^www\\.', '')"
   }
 
   // ------------------------------------------------- q: url_canonicalize

@@ -46,6 +46,24 @@ class ProvenanceSpec extends AnyFunSuite {
       "https://x.com///a///b#c" -> "https://x.com/a/b",
       // params sort byte-wise
       "https://x.com/p?z=1&a=2&m=3" -> "https://x.com/p?a=2&m=3&z=1",
+      // --- rule 5: percent-encoding normalization (r12) ---
+      // unreserved escapes decode (%7E → ~, %41 → A, %2d → -); reserved
+      // %2F is case-folded but NEVER decoded (no new path delimiter)
+      "https://x.com/%7Euser/p%41th%2dx?n=%2f" -> "https://x.com/~user/pAth-x?n=%2F",
+      // decoding cannot create a slash run or a trailing slash: %2F stays
+      // an escape, so the path structure is untouched
+      "https://x.com/a%2fb%2F/" -> "https://x.com/a%2Fb%2F",
+      // invalid escapes pass through byte-identical: bare trailing %, %
+      // followed by <2 hex digits, % followed by non-hex
+      "https://x.com/100%" -> "https://x.com/100%",
+      "https://x.com/%zz/x%3znope" -> "https://x.com/%zz/x%3znope",
+      // an escaped tracking key decodes BEFORE the filter → still dropped
+      "https://x.com/p?%75tm_source=x&a=1" -> "https://x.com/p?a=1",
+      // escaped digits in a param value decode back (oracle toggle b=%32)
+      "https://x.com/p?b=%32" -> "https://x.com/p?b=2",
+      // rule 3 (ADVICE r11): a bare trailing colon with no port digits is
+      // stripped like a default port
+      "https://x.com:/p" -> "https://x.com/p",
       // scheme-less input: the documented degenerate normal form (object
       // scaladoc) — empty scheme/host, root path; NOT silently parsed
       "example.com/x?a=1" -> ":///?a=1")
@@ -76,7 +94,7 @@ class ProvenanceSpec extends AnyFunSuite {
       // every doc with the same triple collapses to the same canonical url
       assert(rows.map(_.getString(1)).distinct.length === 1)
       assert(rows.head.getString(1) ===
-        s"https://$src.example.com/$lang/p$k?a=1&b=2&id=$k")
+        s"https://$src.example.com/$lang/p$k?a=1&b=2&id=$k&p=x%2Fy")
       assert(rows.head.getString(2) === s"$src.example.com")
     }
   }
@@ -143,8 +161,8 @@ class ProvenanceSpec extends AnyFunSuite {
         (if (id % 5 == 0) ":443" else "") +
         s"/$lang" + (if (id % 4 == 0) "//" else "/") + s"p$k" +
         (if (id % 2 == 1) "/" else "") +
-        (if (id % 2 == 0) s"?a=1&utm_source=feed&b=2&id=$k"
-         else s"?b=2&id=$k&fbclid=$id&a=1") +
+        (if (id % 2 == 0) s"?a=1&utm_source=feed&b=2&id=$k&p=x%2Fy"
+         else s"?b=%32&id=$k&fbclid=$id&a=1&p=x%2fy") +
         (if (id % 5 == 0) s"#sec$id" else "")
     }
     val want = docs.groupBy(_._2).map { case (src, members) =>
