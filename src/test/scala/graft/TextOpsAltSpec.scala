@@ -373,4 +373,61 @@ class TextOpsAltSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(naive === expected)
   }
+
+  test("capped exact-substring: boilerplate seeds leave the candidate join bounded; exactness preserved") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    // BOILERPLATE corpus (VERDICT r11 item 3's silent failure mode): docs
+    // 1–10 share an 8-token header (one hot seed) but NO 50-token run —
+    // the undefended candidate stage emits a pair per header-doc pair.
+    // Docs 20/21 are a GENUINE dup pair whose shared run starts at the hot
+    // header (must survive the cut via escalation); docs 30/31 are a
+    // genuine pair with no hot seed (must flow through the cold join).
+    val boiler = (0 until 8).map(i => s"b$i")
+    def fill(d: Int, n: Int, from: Int = 0): Seq[String] =
+      (from until from + n).map(j => s"f${d}_$j")
+    val shared42 = (0 until 42).map(i => s"g$i")
+    val crun = (0 until 50).map(i => s"c$i")
+    def doc(id: Long, toks: Seq[String]) = (id, toks.mkString(" "))
+    val docs = ((1 to 10).map(d => doc(d.toLong, boiler ++ fill(d, 42))) ++ Seq(
+      doc(20L, boiler ++ shared42),
+      doc(21L, boiler ++ shared42),
+      doc(30L, fill(30, 5) ++ crun ++ fill(30, 10, 5)),
+      doc(31L, fill(31, 12) ++ crun))).toDF("doc_id", "text")
+    val expected = Seq((21L, 20L, 1L), (31L, 30L, 1L))
+    assert(naiveExactSubstring(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === expected)
+    // capped (cap=4, header df=12 ⇒ hot) output is EXACT
+    assert(TextOps.exactSubstringDedupCapped(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === expected)
+    // the stage accounting that IS the defense: with the cap, the cold
+    // candidate stage carries ONLY the genuine cold pair; the hot set is
+    // exactly the 12 header docs; the escalation emits only the true pair
+    val (cold, hotDocs, hotPairs) = TextOps.exactSubstringCappedParts(docs, 4)
+    assert(cold.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((30L, 31L)))
+    assert(hotDocs.collect().map(_.getLong(0)).sorted.toSeq
+      === ((1L to 10L) ++ Seq(20L, 21L)))
+    assert(hotPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((20L, 21L)))
+    // undefended comparison: with the cap lifted the SAME corpus floods
+    // the candidate stage with the quadratic header-pair mass — all
+    // 12·11/2 = 66 boiler-doc pairs (the genuine 20–21 among them) plus
+    // the cold pair: 67 candidates for a corpus with TWO real dups
+    val (uncapped, _, _) = TextOps.exactSubstringCappedParts(docs, Int.MaxValue - 1)
+    assert(uncapped.count() === 67)
+    // cap=0 drives EVERY doc through the escalation (the degenerate
+    // corner documented in the scaladoc) — still exact
+    assert(TextOps.exactSubstringDedupCapped(docs, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === expected)
+  }
+
+  test("capped exact-substring == base form on the fixture corpus (cold regime and full-escalation regime)") {
+    import graft.queries.TextOps
+    val base = TextOps.dedupExactSubstring(spark, Sf001).collect().toSeq
+    // registered default (cap 64): fixture max seed df = 4 ⇒ all-cold path
+    assert(TextOps.dedupExactSubstringCapped(spark, Sf001).collect().toSeq === base)
+    // cap=0: all-hot path (pure 50-gram self-join) — same answer again
+    assert(TextOps.exactSubstringDedupCapped(
+      Tables.documents(spark, Sf001), 0).collect().toSeq === base)
+    assert(base.nonEmpty)
+  }
 }
