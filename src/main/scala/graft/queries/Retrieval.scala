@@ -459,9 +459,8 @@ object Retrieval {
     * 100. The weight is Σ_b c_b · log2(p̂_b / q̂_b) with add-1-smoothed
     * bucket probabilities — docs whose token distribution looks most like
     * the target float up. The paper's Gumbel-resampling step is the
-    * composition of this score with [[CorpusPrep.weightedSample]]'s
-    * md5-deterministic exponential race; the registered form is the
-    * deterministic top-k so the oracle stays exact.
+    * registered companion [[dsirImportanceSample]] (r12); this form is
+    * the deterministic top-k end of the same scores.
     *
     * Shape at 100 TB: ONE corpus pass — the exploded token stream
     * collapses to (doc, lang, bucket, count) in a single map-side-combined
@@ -478,7 +477,16 @@ object Retrieval {
     * sum is integer-exact in both engines (ll_fx ≲ 20·2^40, doc sums
     * ≲ 1500·20·2^40 ≈ 2^55 — inside int64).
     */
-  def dsirImportanceTopk(spark: SparkSession, sf: String): DataFrame = {
+  def dsirImportanceTopk(spark: SparkSession, sf: String): DataFrame =
+    dsirDocScores(spark, sf)
+      .orderBy(col("score_fx").desc, col("doc_id").asc)
+      .limit(100)
+
+  /** The per-document DSIR log-importance frame (doc_id, lang, n_tokens,
+    * score_fx) shared by the deterministic top-k and the Gumbel
+    * resampling race — plan shape documented on [[dsirImportanceTopk]].
+    */
+  private[graft] def dsirDocScores(spark: SparkSession, sf: String): DataFrame = {
     val toks = Det.spreadSmallScan(spark, Tables.documents(spark, sf))
       .select(col("doc_id"), col("lang"), explode(TextOps.tokensCol).as("w"))
       .where(col("w") =!= "")
@@ -503,11 +511,51 @@ object Retrieval {
       .join(broadcast(ll), Seq("b"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("ll_fx")).as("score_fx"))
-      .orderBy(col("score_fx").desc, col("doc_id").asc)
+  }
+
+  /** DSIR with the paper's actual RESAMPLING step (Xie et al. 2023 §3:
+    * sample ∝ importance weight, without replacement) — the composition
+    * [[dsirImportanceTopk]]'s scaladoc promised but no query registered
+    * (VERDICT r11 item 4). Gumbel-top-k: keeping the 100 largest
+    * `log2(w_i) + G_i`, G_i ~ Gumbel(0,1) in the log2 domain, draws
+    * exactly ∝ w_i without replacement — the same mechanism as
+    * [[CorpusPrep.weightedSample]]'s exponential race, restated for
+    * log-domain weights (w_i = 2^score would overflow any float domain;
+    * the race never leaves logs).
+    *
+    * Determinism discipline, per the house rules: u is the md5-portable
+    * 52-bit uniform of (doc_id, salt) mapped into the OPEN interval (0,1)
+    * via (h+1)/(2^52+1) — both endpoints excluded so the double Gumbel
+    * −ln(−ln u) is always finite (2^52+1 is exactly representable; the
+    * [[CorpusPrep.weightedSample]] idiom's closed upper end u = 1 would
+    * put +∞ into the race). The transcendental is ROUND(·,8)ed then
+    * FLOORed into the 2^40 fixed-point domain, so race_fx = score_fx +
+    * gumbel_fx is integer-exact in both engines (|gumbel_fx| ≲ 45·2^40,
+    * |score_fx| ≲ 2^55 — sums well inside int64).
+    *
+    * Scale shape: [[dsirDocScores]]' one corpus pass, then a pure per-row
+    * projection (md5 + two logs) and TakeOrdered(100) — nothing new
+    * shuffles and the race key is a pure function of the row, identical
+    * across reruns, retries and cluster layouts.
+    */
+  def dsirImportanceSample(spark: SparkSession, sf: String): DataFrame = {
+    val h = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit("#dsir:13")).cast("binary")), 1, 13),
+      16, 10).cast("long")
+    val u = (h + lit(1)).cast("double") / lit(4503599627370497.0)
+    dsirDocScores(spark, sf)
+      .withColumn("race_fx",
+        col("score_fx") +
+          floor(round(-log(-log(u)) / lit(math.log(2.0)), 8) * lit(Fx)).cast("long"))
+      .orderBy(col("race_fx").desc, col("doc_id").asc)
       .limit(100)
   }
 
-  val dsirImportanceTopkSql: String =
+  /** Shared CTE chain ending in `scores(doc_id, lang, n_tokens,
+    * score_fx)` — ONE text for both DSIR oracles (drift between them
+    * would be a silent bug, the canonSql lesson).
+    */
+  private val dsirScoresCte: String =
     s"""WITH tok AS (
        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
        |), tw AS (
@@ -527,11 +575,25 @@ object Retrieval {
        |      (CAST(p + 1 AS DOUBLE) * (qt + 1024)) /
        |      (CAST(q + 1 AS DOUBLE) * (pt + 1024))), 8) * $FxSql) AS BIGINT) AS ll_fx
        |  FROM bs CROSS JOIN tot
-       |)
-       |SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
-       |  CAST(SUM(c * ll_fx) AS BIGINT) AS score_fx
-       |FROM db JOIN ll USING (b)
-       |GROUP BY 1, 2 ORDER BY score_fx DESC, doc_id ASC LIMIT 100""".stripMargin
+       |), scores AS (
+       |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(c * ll_fx) AS BIGINT) AS score_fx
+       |  FROM db JOIN ll USING (b)
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  val dsirImportanceTopkSql: String =
+    s"""$dsirScoresCte
+       |SELECT doc_id, lang, n_tokens, score_fx
+       |FROM scores ORDER BY score_fx DESC, doc_id ASC LIMIT 100""".stripMargin
+
+  val dsirImportanceSampleSql: String =
+    s"""$dsirScoresCte
+       |SELECT doc_id, lang, n_tokens, score_fx,
+       |  score_fx + CAST(FLOOR(ROUND(
+       |    -LN(-LN((CAST(('0x' || substring(md5(doc_id || '#dsir:13'), 1, 13)) AS BIGINT) + 1)
+       |      / 4503599627370497.0)) / LN(2), 8) * $FxSql) AS BIGINT) AS race_fx
+       |FROM scores ORDER BY race_fx DESC, doc_id ASC LIMIT 100""".stripMargin
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("bm25_topk", bm25Topk _, bm25TopkSql),
@@ -539,6 +601,7 @@ object Retrieval {
     ("bigram_lm_score", bigramLmScore _, bigramLmScoreSql),
     ("ngram_novelty", ngramNovelty _, ngramNoveltySql),
     ("ngram_novelty_probe", ngramNoveltyProbe _, ngramNoveltyProbeSql),
-    ("dsir_importance_topk", dsirImportanceTopk _, dsirImportanceTopkSql)
+    ("dsir_importance_topk", dsirImportanceTopk _, dsirImportanceTopkSql),
+    ("dsir_importance_sample", dsirImportanceSample _, dsirImportanceSampleSql)
   )
 }

@@ -266,4 +266,52 @@ class RetrievalSpec extends AnyFunSuite {
     val enBase = langs.values.count(_ == "en").toDouble / langs.size
     assert(enShare > enBase, s"DSIR selection should enrich the target lang: $enShare vs $enBase")
   }
+
+  test("dsir_importance_sample: Gumbel race recomputes exactly; perturbs but correlates with the top-k") {
+    // scores via the REGISTERED topk-side frame is not used — recompute the
+    // whole race independently: per-doc score from plain-Scala multinomials
+    // (as in the topk test) + the md5-uniform Gumbel in the log2 domain
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(w: String): Long =
+      java.lang.Long.parseLong(md5hex(w).take(8), 16) % 1024L
+    val langs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docBuckets: Map[(Long, Long), Long] = tokenized
+      .flatMap { case (id, _, toks) => toks.map(w => (id, bucket(w))) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val q = docBuckets.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val p = docBuckets.filter { case ((id, _), _) => langs(id) == "en" }
+      .groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val (qt, pt) = (q.values.sum, p.values.sum)
+    val llFx: Map[Long, Long] = q.map { case (b, qb) =>
+      b -> math.floor(r8(log2(
+        ((p.getOrElse(b, 0L) + 1).toDouble * (qt + 1024)) /
+          ((qb + 1).toDouble * (pt + 1024)))) * Fx).toLong
+    }
+    def gumbelFx(id: Long): Long = {
+      val h = java.lang.Long.parseLong(md5hex(s"$id#dsir:13").take(13), 16)
+      val u = (h + 1).toDouble / 4503599627370497.0
+      math.floor(r8(-math.log(-math.log(u)) / math.log(2.0)) * Fx).toLong
+    }
+    val scored = docBuckets.groupBy(_._1._1).map { case (id, m) =>
+      (id, langs(id), m.values.sum, m.map { case ((_, b), c) => c * llFx(b) }.sum)
+    }.toSeq
+    val expected = scored
+      .map { case (id, l, n, s) => (id, l, n, s, s + gumbelFx(id)) }
+      .sortBy { case (id, _, _, _, r) => (-r, id) }.take(100)
+    val got = Retrieval.dsirImportanceSample(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    // the race must actually resample (not reduce to the top-k)…
+    val topk = scored.sortBy { case (id, _, _, s) => (-s, id) }.take(100).map(_._1).toSet
+    val race = got.map(_._1).toSet
+    assert(race !== topk, "Gumbel race degenerated to the deterministic top-k")
+    // …while remaining importance-WEIGHTED: the selection overlaps the
+    // top-k far above the ~20% a uniform draw of 100-of-500 would give
+    assert(race.intersect(topk).size >= 40,
+      s"race lost the importance signal: overlap ${race.intersect(topk).size}/100")
+  }
 }
