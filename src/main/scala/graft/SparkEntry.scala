@@ -19,7 +19,7 @@ object SparkEntry {
     Relational.registry ++ Windows.registry ++ Scalars.registry ++
       TextOps.registry ++ Corpus.registry ++ CorpusPrep.registry ++
       Curation.registry ++ EventAnalytics.registry ++ Retrieval.registry ++
-      Refinery.registry ++ Provenance.registry ++
+      Refinery.registry ++ Provenance.registry ++ DedupOverlap.registry ++
       Vectors.registry ++ StreamShaped.registry ++
       ChangeDetect.registry ++ graft.multimodal.Multimodal.registry
 

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 capstone accounting (VERDICT r11 next-round item 6): run the
+  * CHEAP dedup screens over the same corpus and report, per pair of
+  * methods, how many flagged documents they share — plus each method's
+  * unique catch. This is the table a pipeline operator actually reads
+  * when choosing which screens to run: a screen whose catch is ⊆ another
+  * screen's is redundant at its price point; a screen with a large unique
+  * catch earns its pass.
+  *
+  * Methods and their flagged-doc semantics (each composes the REGISTERED
+  * query for that screen — one definition per screen, here and in the
+  * oracle, so the report can never drift from the screens it reports on):
+  *
+  *  - `exact`     — docs REMOVED by `dedup_docs_exact` (non-first member
+  *                  of an identical-text group): documents minus the
+  *                  survivor set.
+  *  - `line`      — docs REWRITTEN by `line_dedup_rebuild` (≥1 duplicated
+  *                  line): n_kept < n_lines. NOTE: a rewrite screen flags
+  *                  EVERY copy, including the first — unlike the removal
+  *                  screens below, which keep the lowest doc_id.
+  *  - `minhash`   — docs with a LOWER `dedup_minhash_lsh` candidate
+  *                  partner (distinct doc_b of the band-collision pairs).
+  *  - `jaccard`   — docs with a lower partner at bigram Jaccard ≥ 0.5
+  *                  (distinct doc_b of `dedup_ngram_jaccard`).
+  *  - `simhash`   — docs sharing their 16-bit `dedup_simhash` signature
+  *                  with a lower doc.
+  *  - `substring` — docs REMOVED by `dedup_exact_substring` (≥50-token
+  *                  verbatim run with a lower doc).
+  *
+  * `dedup_embedding_lsh` is deliberately NOT a row here: the fixture's
+  * embeddings table is keyed `vec_id` with no doc_id linkage, so a
+  * doc-level overlap against the text screens would be comparing ids
+  * from two unrelated key spaces. On a corpus whose embeddings carry
+  * doc_id the same union-frame shape extends directly.
+  *
+  * Output: (method_a ≤ method_b, n_overlap, n_unique) — exactly 21 rows
+  * for 6 methods, DENSE: a zero-overlap pair appears as an explicit 0
+  * (that row is the "these screens are complementary" signal the report
+  * exists to surface — omitting it would hide the finding). Diagonal
+  * rows carry the method's flagged-set size as n_overlap and its unique
+  * catch (docs NO other method flags) as n_unique; off-diagonal rows
+  * carry |A ∩ B| with n_unique NULL.
+  *
+  * Scale posture: each screen keeps its own registered plan (all linear /
+  * bucketed / df-capped shapes — that is WHY these are the cheap screens);
+  * the report adds one union of six (method, doc_id) flag frames, a
+  * doc_id-keyed self-join (fine-grained key, no hot reducer; flag sets
+  * are duplicate-sized, small next to the corpus), and a 21-row result.
+  * The containment laws the matrix must satisfy (exact ⊆ substring on
+  * ≥50-token docs, exact ⊆ minhash on ≥3-token docs, …) are pinned in
+  * LawsSpec.
+  */
+object DedupOverlap {
+
+  /** The six (method label, flagged doc_id frame) pairs. Each frame is
+    * distinct doc_ids by construction.
+    */
+  private[graft] def flaggedSets(spark: SparkSession, sf: String): Seq[(String, DataFrame)] = {
+    val docs = graft.Tables.documents(spark, sf)
+    val exact = docs.select(col("doc_id"))
+      .join(TextOps.dedupDocsExact(spark, sf).select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val line = Refinery.lineDedupRebuild(spark, sf)
+      .where(col("n_kept") < col("n_lines")).select(col("doc_id"))
+    val minhash = TextOps.dedupMinhashLsh(spark, sf)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val jaccard = TextOps.dedupNgramJaccard(spark, sf)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val sims = TextOps.dedupSimhash(spark, sf)
+    val simhash = sims.select(col("doc_id"), col("simhash"))
+      .join(sims.select(col("doc_id").as("lower_id"), col("simhash")), Seq("simhash"))
+      .where(col("lower_id") < col("doc_id"))
+      .select(col("doc_id")).distinct()
+    val substring = TextOps.dedupExactSubstring(spark, sf).select(col("doc_id"))
+    Seq("exact" -> exact, "line" -> line, "minhash" -> minhash,
+      "jaccard" -> jaccard, "simhash" -> simhash, "substring" -> substring)
+  }
+
+  private[graft] val MethodNames =
+    Seq("exact", "jaccard", "line", "minhash", "simhash", "substring")
+
+  def dedupOverlapReport(spark: SparkSession, sf: String): DataFrame = {
+    val flags = flaggedSets(spark, sf)
+      .map { case (m, df) => df.select(lit(m).as("method"), col("doc_id")) }
+      .reduce(_.unionByName(_))
+    val overlap = flags.select(col("method").as("method_a"), col("doc_id"))
+      .join(flags.select(col("method").as("method_b"), col("doc_id")), Seq("doc_id"))
+      .where(col("method_a") <= col("method_b"))
+      .groupBy(col("method_a"), col("method_b"))
+      .agg(count(lit(1)).as("n_hits"))
+    // unique catch: docs flagged by exactly one method (each method's flag
+    // frame is distinct, so the per-doc row count IS the method count)
+    val loners = flags.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_methods"), min(col("method")).as("method"))
+      .where(col("n_methods") === 1)
+      .groupBy(col("method")).agg(count(lit(1)).as("uniq"))
+    // dense 21-row scaffold: every (a ≤ b) pair, zero-filled
+    val allPairs = spark.createDataFrame(
+      MethodNames.flatMap(a => MethodNames.filter(a <= _).map(b => (a, b))))
+      .toDF("method_a", "method_b")
+    allPairs
+      .join(overlap, Seq("method_a", "method_b"), "left")
+      .join(loners.withColumnRenamed("method", "method_a"), Seq("method_a"), "left")
+      .withColumn("n_overlap", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("n_unique",
+        when(col("method_a") === col("method_b"), coalesce(col("uniq"), lit(0L))))
+      .select(col("method_a"), col("method_b"), col("n_overlap"), col("n_unique"))
+      .orderBy(col("method_a"), col("method_b"))
+  }
+
+  /** Oracle: the SAME registered oracle text per screen, embedded as
+    * subqueries (WITH-in-subquery is legal DuckDB), so Spark and oracle
+    * both derive the report from each screen's one definition.
+    */
+  val dedupOverlapReportSql: String =
+    s"""WITH f_exact AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM (${TextOps.dedupDocsExactSql}))
+       |), f_line AS (
+       |  SELECT doc_id FROM (${Refinery.lineDedupRebuildSql}) WHERE n_kept < n_lines
+       |), f_minhash AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (${TextOps.dedupMinhashLshSql})
+       |), f_jaccard AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (${TextOps.dedupNgramJaccardSql})
+       |), sims AS (
+       |  SELECT * FROM (${TextOps.dedupSimhashSql})
+       |), f_simhash AS (
+       |  SELECT DISTINCT a.doc_id FROM sims a
+       |  JOIN sims b ON a.simhash = b.simhash AND b.doc_id < a.doc_id
+       |), f_substring AS (
+       |  SELECT doc_id FROM (${TextOps.dedupExactSubstringSql})
+       |), flags AS (
+       |  SELECT 'exact' AS method, doc_id FROM f_exact
+       |  UNION ALL SELECT 'line', doc_id FROM f_line
+       |  UNION ALL SELECT 'minhash', doc_id FROM f_minhash
+       |  UNION ALL SELECT 'jaccard', doc_id FROM f_jaccard
+       |  UNION ALL SELECT 'simhash', doc_id FROM f_simhash
+       |  UNION ALL SELECT 'substring', doc_id FROM f_substring
+       |), ov AS (
+       |  SELECT x.method AS method_a, y.method AS method_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM flags x JOIN flags y USING (doc_id)
+       |  WHERE x.method <= y.method
+       |  GROUP BY 1, 2
+       |), uniq AS (
+       |  SELECT f.method, CAST(COUNT(*) AS BIGINT) AS uniq FROM flags f
+       |  JOIN (SELECT doc_id FROM flags GROUP BY doc_id HAVING COUNT(*) = 1) u
+       |    USING (doc_id)
+       |  GROUP BY 1
+       |), methods AS (
+       |  SELECT unnest(['exact', 'jaccard', 'line', 'minhash', 'simhash', 'substring']) AS method
+       |), all_pairs AS (
+       |  SELECT a.method AS method_a, b.method AS method_b
+       |  FROM methods a JOIN methods b ON a.method <= b.method
+       |)
+       |SELECT p.method_a, p.method_b,
+       |  coalesce(o.n_hits, 0) AS n_overlap,
+       |  CASE WHEN p.method_a = p.method_b THEN coalesce(u.uniq, 0) END AS n_unique
+       |FROM all_pairs p
+       |LEFT JOIN ov o ON p.method_a = o.method_a AND p.method_b = o.method_b
+       |LEFT JOIN uniq u ON p.method_a = u.method
+       |ORDER BY p.method_a, p.method_b""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] =
+    Seq(("dedup_overlap_report", dedupOverlapReport _, dedupOverlapReportSql))
+}

@@ -186,4 +186,85 @@ class LawsSpec extends AnyFunSuite {
       assert(math.abs(est - exact) <= 3 * sigma + 1e-9, s"jaccard=$exact est=$est")
     }
   }
+
+  /** Collects each screen's flagged set and checks the report IS the
+    * matrix of those sets — dense 21 rows, overlap + unique recomputed in
+    * plain Scala. Returns the sets for the caller's own laws.
+    */
+  private def checkOverlapMatrix(sf: String): Map[String, Set[Long]] = {
+    import graft.queries.DedupOverlap
+    val sets: Map[String, Set[Long]] = DedupOverlap.flaggedSets(spark, sf)
+      .map { case (m, df) => m -> df.collect().map(_.getLong(0)).toSet }.toMap
+    val got = DedupOverlap.dedupOverlapReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val ms = DedupOverlap.MethodNames
+    assert(got.size === ms.size * (ms.size + 1) / 2)
+    val uniqueOf: Map[String, Long] = ms.map { m =>
+      m -> sets(m).count(d => sets.forall { case (o, s) => o == m || !s.contains(d) }).toLong
+    }.toMap
+    for (a <- ms; b <- ms if a <= b) {
+      val wantOverlap = (sets(a) intersect sets(b)).size.toLong
+      val wantUnique = if (a == b) Some(uniqueOf(a)) else None
+      assert(got((a, b)) === ((wantOverlap, wantUnique)), s"row ($a, $b) at $sf")
+    }
+    sets
+  }
+
+  test("dedup_overlap_report: matrix recomputes from the flag sets on the fixture corpus") {
+    val sets = checkOverlapMatrix(Sf001)
+    // the fixture plants NEAR-dups but zero byte-identical texts — the
+    // exact row must read 0 (any other value would mean the screen or the
+    // synthesis drifted), while the near-dup screens have mass
+    assert(sets("exact").isEmpty)
+    assert(sets("minhash").nonEmpty && sets("substring").nonEmpty)
+  }
+
+  test("dedup_overlap_report: containment theorems on a planted corpus with every dup species") {
+    import graft.queries.DedupOverlap
+    // the fixture has no exact dups, so the containment laws need a
+    // PLANTED corpus; the sf argument is a directory, so write one
+    def toks(p: String, n: Int, from: Int = 0) = (from until from + n).map(i => s"$p$i")
+    val sixty = toks("a", 60)
+    val ten = toks("t", 10)
+    val run50 = toks("r", 50)
+    val rows = Seq(
+      // identical 60-token triple: exact flags 2,3; every screen's domain
+      1L -> sixty, 2L -> sixty, 3L -> sixty,
+      // identical 10-token pair: exact dup BELOW the substring granularity
+      10L -> ten, 11L -> ten,
+      // unique long doc
+      20L -> toks("u", 60),
+      // shared 50-run inside otherwise-different docs: substring-only species
+      30L -> (toks("x", 10) ++ run50),
+      31L -> (toks("y", 5) ++ run50 ++ toks("z", 20)),
+      // identical 2-token pair: below minhash's 3-token shingle domain
+      40L -> toks("w", 2), 41L -> toks("w", 2)
+    ).map { case (id, ts) =>
+      val text = ts.mkString(" ")
+      (id, text, "en", "src0", text.length.toLong)
+    }
+    val dir = "target/tmp/laws_overlap_corpus"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sets = checkOverlapMatrix(dir)
+    val nToks = rows.map { case (id, text, _, _, _) => id -> text.split(" ").length }.toMap
+    // Containment THEOREMS (each conditional is the screen's stated input
+    // domain, not a fudge): an exact duplicate has an identical lower
+    // partner, so every screen that keys on content pure-functionally
+    // must flag it wherever the doc is in the screen's domain at all.
+    val exact = sets("exact")
+    assert(exact === Set(2L, 3L, 11L, 41L))
+    //  - line screen: identical docs share every 8-token line (df >= 2)
+    assert(exact.subsetOf(sets("line")), "exact ⊄ line")
+    //  - simhash: identical token SET ⇒ identical 16-bit signature
+    assert(exact.subsetOf(sets("simhash")), "exact ⊄ simhash")
+    //  - minhash: docs need >= 3 tokens to have shingles
+    assert(exact.filter(nToks(_) >= 3).subsetOf(sets("minhash")), "exact∩{≥3 tok} ⊄ minhash")
+    assert(!sets("minhash").contains(41L), "2-token doc has no shingles")
+    //  - substring: docs need >= 50 tokens to hold a qualifying run
+    assert(exact.filter(nToks(_) >= 50).subsetOf(sets("substring")), "exact∩{≥50 tok} ⊄ substring")
+    // the substring-only species is caught by substring and nothing exact
+    assert(sets("substring").contains(31L) && !exact.contains(31L))
+  }
 }
