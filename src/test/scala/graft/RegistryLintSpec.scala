@@ -22,35 +22,48 @@ class RegistryLintSpec extends AnyFunSuite {
     */
   private val contractNames: Set[String] = Set(
     "agg_collect_sorted", "agg_count_distinct", "agg_cube", "agg_global", "agg_groupby", "agg_grouping_sets",
-    "agg_pivot_manual", "agg_rollup", "agg_vector_centroid", "ann_ivf", "ann_ivf_probe", "array_funcs",
-    "array_setops", "bigram_lm_score", "bm25_topk", "bpe_merge_pairs", "case_when_classify", "cast_coalesce",
-    "change_detect", "change_summary", "chunk_dedup", "click_view_attribution", "cluster_topics", "cluster_topics_probe",
-    "cohort_retention", "contamination_check", "corpus_yield_report", "cosine_topk", "cross_source_dedup", "daily_counts",
-    "date_funcs", "dedup_bloom_prefilter", "dedup_clusters", "dedup_docs_exact", "dedup_edit_distance", "dedup_embedding_cosine",
-    "dedup_embedding_lsh", "dedup_keep_best", "dedup_latest", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
-    "dedup_semantic_probe", "dedup_simhash", "distinct_users_daily", "distinct_values", "doc_chunking", "doc_fingerprint",
-    "docs_profile", "domain_rebalance", "embedding_outliers", "embedding_quantize", "filter_predicates", "funnel_stages",
-    "gopher_quality_rules", "hash_md5_dedup", "join_anti", "join_asof", "join_broadcast", "join_full_outer",
-    "join_inner", "join_left_outer", "join_range", "join_semi", "join_sortmerge", "json_extract_agg",
-    "knn_brute_force", "knn_lsh_bucketed", "knn_quantized", "lang_id", "length_quantile_filter", "line_dedup_rebuild", "map_explode",
-    "math_funcs", "mix_temperature", "multimodal_frame_sample", "multimodal_meta", "multimodal_resize", "ngram_bigrams",
-    "ngram_novelty", "pack_sequences", "percentile_summary", "pii_scrub", "pipeline_clean_dedup_profile", "q1_pricing_summary",
-    "q3_join_topk", "q5_multijoin", "quality_calibration", "quality_logit_score", "regex_clean", "repetition_score",
-    "scan_project", "scd2_intervals", "sessionize", "setop_except", "setop_intersect", "setop_union",
-    "shard_assignment", "source_kl_drift", "source_mix_report", "source_similarity", "split_train_test", "stats_funcs",
-    "stratified_sample", "stream_drift_chi2", "stream_sliding", "stream_tumbling_hourly", "string_funcs", "string_funcs2",
-    "text_normalize", "text_quality_score", "tfidf_top_terms", "token_count", "token_diversity", "token_histogram",
-    "tokenize_wordcount", "topk_orders", "vocab_coverage", "weighted_sample", "window_first_last_nth", "window_lag_change_detect",
-    "window_moving_avg", "window_rank", "window_rank_twophase", "window_rolling_range", "window_running_sum", "window_topk_per_group", "winnow_fingerprints")
+    "agg_pivot_manual", "agg_rollup", "agg_vector_centroid", "ann_ivf", "ann_ivf_probe", "approx_distinct_linear",
+    "array_funcs", "array_setops", "bigram_lm_score", "bm25_topk", "bpe_encode", "bpe_merge_pairs",
+    "case_when_classify", "cast_coalesce", "change_detect", "change_summary", "chunk_dedup", "click_view_attribution",
+    "cluster_topics", "cluster_topics_probe", "cohort_retention", "contamination_check", "contamination_semantic", "corpus_yield_report",
+    "cosine_topk", "cross_source_dedup", "daily_counts", "date_funcs", "dedup_bloom_prefilter", "dedup_clusters",
+    "dedup_clusters_fixpoint", "dedup_clusters_stars", "dedup_docs_exact", "dedup_edit_distance", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "dedup_embedding_lsh_eqmass", "dedup_embedding_lsh_eqmass_probe", "dedup_exact_substring", "dedup_exact_substring_capped", "dedup_exact_substring_probe", "dedup_keep_best",
+    "dedup_latest", "dedup_minhash_lsh", "dedup_minhash_probe", "dedup_ngram_jaccard", "dedup_overlap_report", "dedup_semantic",
+    "dedup_semantic_probe", "dedup_simhash", "dedup_substring_rewrite", "distinct_users_daily", "distinct_values", "doc_chunking",
+    "doc_fingerprint", "docs_profile", "domain_dedup_accounting", "domain_rebalance", "dsir_importance_sample", "dsir_importance_topk",
+    "embedding_outliers", "embedding_quantize", "filter_predicates", "funnel_stages", "gopher_quality_rules", "hash_md5_dedup",
+    "join_anti", "join_asof", "join_broadcast", "join_full_outer", "join_inner",
+    "join_left_outer", "join_range", "join_semi", "join_skew_salted", "join_sortmerge", "json_extract_agg",
+    "knn_brute_force", "knn_lsh_bucketed", "knn_lsh_probe", "knn_quantized", "lang_id", "layout_zorder",
+    "length_quantile_filter", "line_dedup_rebuild", "map_explode", "math_funcs", "mix_temperature", "multimodal_frame_sample",
+    "multimodal_meta", "multimodal_resize", "ngram_bigrams", "ngram_novelty", "ngram_novelty_probe", "pack_sequences",
+    "percentile_summary", "pii_scrub", "pipeline_clean_dedup_profile", "q1_pricing_summary", "q3_join_topk", "q5_multijoin",
+    "quality_calibration", "quality_logit_score", "regex_clean", "repetition_score", "scan_project", "scd2_intervals",
+    "sessionize", "setop_except", "setop_intersect", "setop_union", "shard_assignment", "sketch_countmin_hh",
+    "source_kl_drift", "source_mix_report", "source_similarity", "split_train_test", "stats_funcs", "stratified_sample",
+    "stream_drift_chi2", "stream_sliding", "stream_tumbling_hourly", "string_funcs", "string_funcs2", "text_normalize",
+    "text_quality_score", "tfidf_top_terms", "token_count", "token_diversity", "token_histogram", "tokenize_wordcount",
+    "topk_orders", "url_canonicalize", "vocab_coverage", "weighted_sample", "window_first_last_nth", "window_lag_change_detect",
+    "window_moving_avg", "window_rank", "window_rank_twophase", "window_rolling_range", "window_running_sum", "window_topk_per_group",
+    "winnow_fingerprints")
 
-  test("SparkEntry.queries covers the frozen contract-name set (128 names)") {
+  test("SparkEntry.queries covers the frozen contract-name set (150 oracle names + image_ahash rows-only)") {
+    // freeze-forward (r12): the list now carries EVERY oracle-checked name
+    // through round 12 — 150 names; image_ahash stays outside because it
+    // is the one sanctioned rows-only row (no SQL engine decodes pixels)
+    // and the oracle assert below must stay total over the list.
+    assert(contractNames.size === 150)
     val missing = contractNames -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
       s"contract queries dropped from the registry: ${missing.toSeq.sorted.mkString(", ")}")
-    // every contract name keeps its oracle too (all 128 are SQL-checked)
+    // every contract name keeps its oracle too (all 150 are SQL-checked)
     val noOracle = contractNames -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty,
       s"contract queries without oracle SQL: ${noOracle.toSeq.sorted.mkString(", ")}")
+    // the rows-only row is registered but deliberately oracle-less
+    assert(SparkEntry.queries.contains("image_ahash") &&
+      !SparkEntry.oracleSql.contains("image_ahash"))
   }
 
   test("every registered query name appears in SURVEY.md (registry ⊆ inventory, no drift)") {
