@@ -1190,16 +1190,35 @@ object TextOps {
     */
   private[graft] def exactSubstringCappedParts(docs: DataFrame, cap: Int)
       : (DataFrame, DataFrame, DataFrame) = {
+    // BOTH gram streams get an explicit h-keyed exchange: each feeds two
+    // consumers (index → df-agg + cold join; probe seeds → cold join +
+    // hot membership), and without the barrier Spark recomputes the
+    // Generate+md5 stream — the corpus-dominant cost — once per branch
+    // (measured r12 at sf0.1: 2.02 → 1.27 s; the probe stream is the big
+    // one). The h clustering is what the cold equi-join needs anyway, so
+    // at scale this adds no shuffle volume the base form doesn't pay —
+    // the second consumer reads a ReusedExchange instead of re-hashing
+    // the corpus.
     val index = tokenWindows(docs, SubstrSeedLen, SubstrRunLen - SubstrSeedLen + 1)
+      .repartition(col("h"))
     // df per seed bucket = distinct docs holding it stride-aligned (a seed
     // repeated within one doc is one index entry per occurrence, but df
     // counts docs — the blowup is cross-doc)
     val seedDf = index.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // hot is BROADCAST into both the index anti-join and the probe
+    // semi-join (the JaccardDfCap hotBgs precedent): it is the df>cap
+    // DISTINCT seed set — boilerplate-sized and corpus-SUBLINEAR by
+    // construction (bounded by distinct-grams/cap, in practice a handful
+    // of headers) — while both join left sides are the corpus-sized gram
+    // streams. Without the hint Catalyst's post-agg size estimate turns
+    // both into SMJs that sort the full seed stream (measured r12: the
+    // all-cold fixture path 1.89 s vs the base form's 0.77 s; with the
+    // broadcast the overhead is the stride-index df agg alone).
     val hot = seedDf.where(col("df") > cap).select(col("h"))
-    val seeds = tokenWindows(docs, SubstrSeedLen)
+    val seeds = tokenWindows(docs, SubstrSeedLen).repartition(col("h"))
     val coldCandidates = seeds.select(col("doc_id").as("p_doc"), col("h"))
-      .join(index.join(hot, Seq("h"), "left_anti")
+      .join(index.join(broadcast(hot), Seq("h"), "left_anti")
         .select(col("doc_id").as("i_doc"), col("h")), Seq("h"))
       .where(col("p_doc") =!= col("i_doc"))
       .select(
@@ -1209,7 +1228,7 @@ object TextOps {
     // hot membership is ANY-position (probe-side stream): the escalation's
     // completeness needs the probe doc of a hot-seeded run too, and it can
     // hold the seed anywhere
-    val hotDocs = seeds.join(hot, Seq("h"), "left_semi")
+    val hotDocs = seeds.join(broadcast(hot), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
     val hotGrams = tokenWindows(docs.join(hotDocs, Seq("doc_id"), "left_semi"),
         SubstrRunLen)
