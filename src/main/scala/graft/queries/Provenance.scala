@@ -76,11 +76,14 @@ object Provenance {
     * form depends ONLY on (source, lang, doc_id % 7), so canonicalization
     * provably collapses docs that differ in any toggle — the accounting
     * query's duplicate mass is deterministic, not incidental. Rule 5's
-    * toggles (both %2, r12): odd docs spell `b=2` as `b=%32` (unreserved
-    * → decodes back) and the shared `p=x%2Fy` param carries lowercase
-    * `%2f` on odd docs (reserved → case-folds, never decodes) — so the
-    * oracle exercises decode, case-fold and the kept-reserved exemption,
-    * not just the planted ProvenanceSpec urls.
+    * toggles (r12): odd docs spell `b=2` as `b=%32` (unreserved →
+    * decodes back); even-k docs carry a `p=x%2Fy` param whose hex is
+    * lowercase `%2f` on odd docs (reserved → case-folds, never decodes,
+    * and k-keyed presence keeps the collapse invariant); even docs with
+    * odd k carry NO escape at all, exercising [[pctNormalize]]'s fast
+    * path in-oracle. So decode, case-fold, the kept-reserved exemption
+    * AND the %-free shortcut are all covered, not just the planted
+    * ProvenanceSpec urls.
     */
   def urlRaw: Column = {
     val k = (col("doc_id") % 7).cast("string")
@@ -96,10 +99,11 @@ object Provenance {
       lit("p"), k,
       when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
       when(col("doc_id") % 2 === 0,
-        concat(lit("?a=1&utm_source=feed&b=2&id="), k, lit("&p=x%2Fy")))
+        concat(lit("?a=1&utm_source=feed&b=2&id="), k,
+          when(col("doc_id") % 7 % 2 === 0, lit("&p=x%2Fy")).otherwise(lit(""))))
         .otherwise(concat(
-          lit("?b=%32&id="), k, lit("&fbclid="), col("doc_id").cast("string"),
-          lit("&a=1&p=x%2fy"))),
+          lit("?b=%32&id="), k, lit("&fbclid="), col("doc_id").cast("string"), lit("&a=1"),
+          when(col("doc_id") % 7 % 2 === 0, lit("&p=x%2fy")).otherwise(lit("")))),
       when(col("doc_id") % 5 === 0, concat(lit("#sec"), col("doc_id").cast("string")))
         .otherwise(lit("")))
   }
@@ -115,8 +119,8 @@ object Provenance {
       |    '/' || lang || (CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '/' END) ||
       |    'p' || CAST(doc_id % 7 AS VARCHAR) ||
       |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
-      |    (CASE WHEN doc_id % 2 = 0 THEN '?a=1&utm_source=feed&b=2&id=' || CAST(doc_id % 7 AS VARCHAR) || '&p=x%2Fy'
-      |          ELSE '?b=%32&id=' || CAST(doc_id % 7 AS VARCHAR) || '&fbclid=' || CAST(doc_id AS VARCHAR) || '&a=1&p=x%2fy' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '?a=1&utm_source=feed&b=2&id=' || CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 7 % 2 = 0 THEN '&p=x%2Fy' ELSE '' END)
+      |          ELSE '?b=%32&id=' || CAST(doc_id % 7 AS VARCHAR) || '&fbclid=' || CAST(doc_id AS VARCHAR) || '&a=1' || (CASE WHEN doc_id % 7 % 2 = 0 THEN '&p=x%2fy' ELSE '' END) END) ||
       |    (CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url_raw
       |  FROM documents
       |)""".stripMargin
@@ -140,8 +144,18 @@ object Provenance {
     * 0x41–0x5A, 0x61–0x7A, 0x30–0x39, `-` 0x2D, `.` 0x2E, `_` 0x5F,
     * `~` 0x7E. `split(…, -1)` keeps trailing empties so a bare trailing
     * `%` round-trips (piece "" fails the hex test → `%` re-emitted).
+    *
+    * Fast path: a component with no `%` at all — the overwhelming case on
+    * a real crawl — returns unchanged after one contains() probe, never
+    * building the array pipeline (measured r12 at sf1: the always-slow
+    * form cost url_canonicalize 0.255 → 0.49 s when every fixture URL
+    * carried an escape; the synthesis now leaves the even-doc/odd-k slice
+    * (~3/14 of docs) escape-free so the oracle exercises both paths).
     */
-  def pctNormalize(c: Column): Column = {
+  def pctNormalize(c: Column): Column =
+    when(!c.contains("%"), c).otherwise(pctNormalizeSlow(c))
+
+  private def pctNormalizeSlow(c: Column): Column = {
     val parts = split(c, "%", -1)
     val mapped = transform(slice(parts, lit(2), size(parts)), p => {
       val hex = upper(p.substr(lit(1), lit(2)))
@@ -197,7 +211,10 @@ object Provenance {
     * routed away. DuckDB `string_split` keeps trailing empties, matching
     * Spark's `split(…, -1)`.
     */
-  private def pctSql(u: String): String = {
+  private def pctSql(u: String): String =
+    s"(CASE WHEN strpos($u, '%') = 0 THEN $u ELSE ${pctSlowSql(u)} END)"
+
+  private def pctSlowSql(u: String): String = {
     val code = "TRY_CAST(('0x' || upper(p[1:2])) AS INT)"
     // coalesce: DuckDB's list_transform/array_to_string over the EMPTY
     // tail list (a %-free component) yields NULL, not '' — without it

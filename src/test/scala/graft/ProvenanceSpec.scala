@@ -94,7 +94,8 @@ class ProvenanceSpec extends AnyFunSuite {
       // every doc with the same triple collapses to the same canonical url
       assert(rows.map(_.getString(1)).distinct.length === 1)
       assert(rows.head.getString(1) ===
-        s"https://$src.example.com/$lang/p$k?a=1&b=2&id=$k&p=x%2Fy")
+        s"https://$src.example.com/$lang/p$k?a=1&b=2&id=$k" +
+          (if (k % 2 == 0) "&p=x%2Fy" else ""))
       assert(rows.head.getString(2) === s"$src.example.com")
     }
   }
@@ -161,8 +162,9 @@ class ProvenanceSpec extends AnyFunSuite {
         (if (id % 5 == 0) ":443" else "") +
         s"/$lang" + (if (id % 4 == 0) "//" else "/") + s"p$k" +
         (if (id % 2 == 1) "/" else "") +
-        (if (id % 2 == 0) s"?a=1&utm_source=feed&b=2&id=$k&p=x%2Fy"
-         else s"?b=%32&id=$k&fbclid=$id&a=1&p=x%2fy") +
+        (if (id % 2 == 0) s"?a=1&utm_source=feed&b=2&id=$k"
+         else s"?b=%32&id=$k&fbclid=$id&a=1") +
+        (if (k % 2 == 0) { if (id % 2 == 0) "&p=x%2Fy" else "&p=x%2fy" } else "") +
         (if (id % 5 == 0) s"#sec$id" else "")
     }
     val want = docs.groupBy(_._2).map { case (src, members) =>
