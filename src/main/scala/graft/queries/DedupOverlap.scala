@@ -69,8 +69,15 @@ object DedupOverlap {
       .select(col("doc_b").as("doc_id")).distinct()
     val jaccard = TextOps.dedupNgramJaccard(spark, sf)
       .select(col("doc_b").as("doc_id")).distinct()
+    // simhash-keyed exchange barrier: the signature table is self-joined,
+    // and without it BOTH join sides re-run the full per-doc bit-sum
+    // aggregation (r12 sweep: the srR=5000/swR=1352 subtree executed
+    // twice). The self-join keys on simhash, so the barrier is the
+    // clustering the join needs anyway — the second side reads a
+    // ReusedExchange.
     val sims = TextOps.dedupSimhash(spark, sf)
-    val simhash = sims.select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"), col("simhash")).repartition(col("simhash"))
+    val simhash = sims
       .join(sims.select(col("doc_id").as("lower_id"), col("simhash")), Seq("simhash"))
       .where(col("lower_id") < col("doc_id"))
       .select(col("doc_id")).distinct()
@@ -83,9 +90,16 @@ object DedupOverlap {
     Seq("exact", "jaccard", "line", "minhash", "simhash", "substring")
 
   def dedupOverlapReport(spark: SparkSession, sf: String): DataFrame = {
+    // doc_id-keyed exchange barrier on the union: the flag frame feeds
+    // THREE consumers (both sides of the overlap self-join + the loners
+    // aggregate), and without it every consumer re-ran all six screens
+    // (r12 sweep: the 39505→5885 union subtree executed twice at 2.2 s
+    // CPU each). The self-join needs doc_id clustering anyway; the other
+    // consumers read the ReusedExchange.
     val flags = flaggedSets(spark, sf)
       .map { case (m, df) => df.select(lit(m).as("method"), col("doc_id")) }
       .reduce(_.unionByName(_))
+      .repartition(col("doc_id"))
     val overlap = flags.select(col("method").as("method_a"), col("doc_id"))
       .join(flags.select(col("method").as("method_b"), col("doc_id")), Seq("doc_id"))
       .where(col("method_a") <= col("method_b"))
