@@ -514,6 +514,9 @@ object Multimodal {
       .foldLeft(hashes) { (df, b) =>
         df.withColumn(s"band$b", shiftright(col("ahash"), 16 * b).bitwiseAND(lit(0xffffL)))
       }
+      // the PNG decode + aHash pass must not run twice for the sort
+      // sampler (r12 sweep: 0.8 s sampler CPU) — see queries.Det.sortBarrier
+      .transform(graft.queries.Det.sortBarrier(col("doc_id")))
       .orderBy(col("doc_id"))
   }
 

@@ -43,6 +43,9 @@ object Corpus {
             "array_join(slice(t, (i - 1) * 24 + 1, 32), ' ') AS chunk_text))"))
           .as("c"))
       .select(col("doc_id"), col("c.chunk_id"), col("c.n_chunk_tokens"), col("c.chunk_text"))
+      // the chunk-struct transform + Generate must not run twice for the
+      // sort sampler (r12 sweep) — see Det.sortBarrier
+      .transform(Det.sortBarrier(col("doc_id")))
       .orderBy(col("doc_id"), col("chunk_id"))
 
   val docChunkingSql: String =

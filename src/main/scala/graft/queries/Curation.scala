@@ -367,6 +367,9 @@ object Curation {
       .select(
         col("doc_id"), col("source"), col("score"),
         (col("score") >= 0.2).as("pass"))
+      // the tokenize + HOF feature pass must not run twice for the sort
+      // sampler (r12 sweep) — see Det.sortBarrier
+      .transform(Det.sortBarrier(col("doc_id")))
       .orderBy(col("doc_id"))
   }
 

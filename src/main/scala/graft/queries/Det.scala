@@ -57,4 +57,26 @@ object Det {
     if (spark.conf.getOption(SpreadConf).exists(_.toBoolean))
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
+
+  /** Keyed exchange barrier between a heavy per-row projection and its
+    * contract ORDER BY (use via `.transform(Det.sortBarrier(col(...)))`).
+    *
+    * orderBy plans a range exchange whose partition bounds SAMPLING
+    * re-executes the child plan; when the child is an expensive
+    * projection (regex counts, array HOFs, min-gram hashing, image
+    * decode) the whole corpus pass runs TWICE — once computing the
+    * sample, once for real. Round 11 found this tax on the jaccard /
+    * winnowing reduce pipelines; the round-12 sweep found the same
+    * signature (a sampler stage re-reading the projection input at full
+    * CPU, writing nothing) on eight projection queries. The keyed
+    * repartition materializes the projected — NARROW — result rows into
+    * a shuffle the sampler re-reads instead of recomputing: one extra
+    * exchange of result-sized rows, which is scale-safe by construction
+    * (the projection over the corpus is the term that grows; the barrier
+    * trades a second corpus pass for one result-row shuffle). Keyed, not
+    * round-robin: hashpartitioning skips RoundRobinPartitioning's
+    * defensive sortBeforeRepartition and sizes with
+    * spark.sql.shuffle.partitions instead of a literal.
+    */
+  def sortBarrier(key: Column)(df: DataFrame): DataFrame = df.repartition(key)
 }

@@ -433,6 +433,10 @@ object Refinery {
         (col("top_share") <= 0.125).as("r_rep"))
       .withColumn("pass",
         col("r_len") && col("r_mean_len") && col("r_stop") && col("r_rep"))
+      // the O(len²) top_share array expression must not run twice for the
+      // sort sampler (r12 sweep: 1.15 s sampler CPU vs 3.7 s real) — see
+      // Det.sortBarrier
+      .transform(Det.sortBarrier(col("doc_id")))
       .orderBy(col("doc_id"))
   }
 

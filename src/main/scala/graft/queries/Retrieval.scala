@@ -260,6 +260,9 @@ object Retrieval {
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_bigrams"),
         ((-sum(col("cnt") * col("ll_fx"))).cast("double") / lit(Fx) / sum(col("cnt"))).as("avg_nll"))
+      // the sort sampler re-ran the final reduction (r12 sweep: 0.7 s
+      // sampler CPU over the 463k-row exchange) — see Det.sortBarrier
+      .transform(Det.sortBarrier(col("doc_id")))
       .orderBy(col("doc_id"))
   }
 

@@ -332,6 +332,9 @@ object Scalars {
         array_join(array_sort(array_distinct(filter(col("head10"), t => array_contains(col("mid10"), t)))), ",").as("intersect_toks"),
         array_join(array_sort(array_distinct(filter(col("head10"), t => !array_contains(col("mid10"), t)))), ",").as("except_toks"),
         size(array_distinct(col("head10"))).cast("long").as("n_distinct_head"))
+      // four interpreted array-HOF columns per row — barrier them out of
+      // the sort sampler's re-execution (Det.sortBarrier)
+      .transform(Det.sortBarrier(col("doc_id")))
       .orderBy(col("doc_id"))
   }
 

@@ -1430,6 +1430,9 @@ object TextOps {
         size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long").as("n_bpe_tokens"),
         regexp_count(col("text"), lit("[a-z]{7,}")).cast("long").as("n_long_tokens"))
+      // the triple-regex pass must not run twice for the sort sampler
+      // (r12 sweep: 1.34 s sampler CPU) — see Det.sortBarrier
+      .transform(Det.sortBarrier(col("doc_id")))
       .orderBy(col("doc_id"))
 
   val tokenCountSql: String =
@@ -1505,6 +1508,9 @@ object TextOps {
       .select(
         col("doc_id"),
         graft.functions.MinGramMd5.min_gram_md5(col("text"), 8).as("fingerprint"))
+      // min-gram hashing is the whole query — keep it out of the sort
+      // sampler's re-execution (Det.sortBarrier)
+      .transform(Det.sortBarrier(col("doc_id")))
       .orderBy(col("doc_id"))
 
   val docFingerprintSql: String =

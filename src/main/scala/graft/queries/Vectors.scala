@@ -1403,6 +1403,9 @@ object Vectors {
         concat_ws(",",
           expr("transform(embedding, x -> IF(norm = 0D, '0', CAST(CAST(round(CAST(x AS DOUBLE) / norm * 127.0) AS INT) AS STRING)))"))
           .as("qvec"))
+      // the per-vector norm + int8 transform must not run twice for the
+      // sort sampler (r12 sweep) — see Det.sortBarrier
+      .transform(Det.sortBarrier(col("vec_id")))
       .orderBy(col("vec_id"))
 
   val embeddingQuantizeSql: String =
