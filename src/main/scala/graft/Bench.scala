@@ -182,12 +182,23 @@ object Bench {
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
+    // Scale-factor resolution is by LAST PATH SEGMENT EQUALITY, not suffix
+    // (ADVICE r12): a directory merely ending in "sf1" (data/mysf1) must
+    // not silently pick sf1's floors and emit a misleading window_tax.
+    def sfSegment: String = sfDir.replaceAll("/+$", "").split('/').last
+    val floorsFile: Option[java.io.File] = sys.env.get("SPARK_GRAFT_FLOORS")
+      .map(new java.io.File(_))
+      .orElse(sfSegment match {
+        case "sf0.1" => Some(new java.io.File("docs/bench_floors.json"))
+        case "sf1"   => Some(new java.io.File("docs/bench_floors_sf1.json"))
+        case "sf3"   => Some(new java.io.File("docs/bench_floors_sf3.json"))
+        case _       => None
+      })
     val floors: Map[String, Double] = {
-      val f = sys.env.get("SPARK_GRAFT_FLOORS").map(new java.io.File(_))
-        .getOrElse(new java.io.File("docs/bench_floors.json"))
-      val floorsApply = sys.env.contains("SPARK_GRAFT_FLOORS") ||
-        sfDir.replaceAll("/+$", "").endsWith("sf0.1")
-      if (!floorsApply) Map.empty else readFloors(f)
+      // retry-gating floors apply only at the sf they were measured at:
+      // explicit SPARK_GRAFT_FLOORS, or the default sf0.1 file at sf0.1.
+      val floorsApply = sys.env.contains("SPARK_GRAFT_FLOORS") || sfSegment == "sf0.1"
+      if (!floorsApply) Map.empty else floorsFile.map(readFloors).getOrElse(Map.empty)
     }
     val RetryOver = 5.0; val AcceptWithin = 2.0; val MaxRetries = 2
     var retries = 0
@@ -204,9 +215,6 @@ object Bench {
         name -> (Some(round3(best)), err)
       case other => other
     }
-    val inflated = results.collect {
-      case (name, (Some(t), _)) if floors.get(name).exists(f => t > AcceptWithin * f) => name
-    }.toSeq.sorted
     val timed = results.collect { case (k, (Some(v), _)) => k -> v }
     val errs = results.collect { case (k, (_, Some(e))) => k -> e }
     // Host-window canary IN THE ARTIFACT (VERDICT r11 item 1): BENCH_r11's
@@ -216,30 +224,52 @@ object Bench {
     // bound knn_brute_force row (measured here directly when a dev subset
     // excludes it), `window_tax` is canary_s over the committed cross-run
     // floor for THIS scale factor (docs/bench_floors*.json — resolved by
-    // sfDir suffix when the retry-gating floors map is inapplicable, so
-    // sf1/sf3 artifacts self-report too). window_tax ≈ 1 ⇒ trust
+    // last-path-segment equality when the retry-gating floors map is
+    // inapplicable, so sf1/sf3 artifacts self-report too). window_tax ≈ 1 ⇒ trust
     // absolutes; window_tax ≫ 1 ⇒ the whole run is inflated by roughly
     // that factor and only same-window comparisons are meaningful.
     val CanaryQuery = "knn_brute_force"
+    // Out-of-band canary gating (ADVICE r12): a SPARK_GRAFT_ONLY dev subset
+    // that excludes the canary does NOT silently pay 3 extra full-sfDir
+    // knn_brute_force runs — and an oob min-of-2 has far less warmup/retry
+    // machinery than the suite path, so its tax reads high. Subset runs
+    // skip it unless SPARK_GRAFT_CANARY=force; the artifact records which
+    // path produced canary_s in `canary_src` ("suite" | "oob" | "none").
+    val oobAllowed = only.isEmpty || sys.env.get("SPARK_GRAFT_CANARY").contains("force")
     val canaryS: Option[Double] = timed.get(CanaryQuery).orElse {
-      SparkEntry.queries.get(CanaryQuery).flatMap { fn =>
+      if (!oobAllowed) None
+      else SparkEntry.queries.get(CanaryQuery).flatMap { fn =>
         try { runAction(fn(spark, sfDir)) } catch { case _: Throwable => () } // warm codegen
         (1 to 2).map(_ => timeOnce(fn)).collect { case (t, None) => t }
           .minOption.map(round3)
       }
     }
-    val canaryFloor: Option[Double] = floors.get(CanaryQuery).orElse {
-      val base = sfDir.replaceAll("/+$", "")
-      val perSf =
-        if (base.endsWith("sf1")) Some("docs/bench_floors_sf1.json")
-        else if (base.endsWith("sf3")) Some("docs/bench_floors_sf3.json")
-        else if (base.endsWith("sf0.1")) Some("docs/bench_floors.json")
-        else None
-      perSf.flatMap(p => readFloors(new java.io.File(p)).get(CanaryQuery))
-    }
+    val canarySrc =
+      if (timed.contains(CanaryQuery)) "suite"
+      else if (canaryS.isDefined) "oob"
+      else "none"
+    // canary floor: the retry-gating floors map when applicable, else the
+    // per-sf floors FILE resolved above (segment-equality, never suffix)
+    val canaryFloor: Option[Double] = floors.get(CanaryQuery)
+      .orElse(floorsFile.flatMap(f => readFloors(f).get(CanaryQuery)))
     val windowTax: Option[Double] =
       for (c <- canaryS; f <- canaryFloor if f > 0) yield round3(c / f)
-    val canaryJson = s""""canary":"$CanaryQuery","canary_s":${canaryS.getOrElse(-1)},"window_tax":${windowTax.getOrElse(-1)}"""
+    val floorsFileJson = floorsFile.fold("null")(f => "\"" + f.getPath + "\"")
+    val canaryJson = s""""canary":"$CanaryQuery","canary_s":${canaryS.getOrElse(-1)},"canary_src":"$canarySrc","window_tax":${windowTax.getOrElse(-1)},"floors_file":$floorsFileJson"""
+    // Tax-aware inflated list (VERDICT r12 item 6): a taxed window inflates
+    // EVERY row by ~window_tax, so the raw floor comparison flags dozens of
+    // innocents (21 in BENCH_r12). `inflated` stays the raw read;
+    // `inflated_adj` divides each row's time by the measured tax first, so
+    // on a taxed-but-unchanged tree it reads near-empty while a genuinely
+    // slowed query (regression ≫ tax) still trips both lists.
+    val taxDivisor: Double = windowTax.filter(_ > 1.0).getOrElse(1.0)
+    val inflated = results.collect {
+      case (name, (Some(t), _)) if floors.get(name).exists(f => t > AcceptWithin * f) => name
+    }.toSeq.sorted
+    val inflatedAdj = results.collect {
+      case (name, (Some(t), _))
+        if floors.get(name).exists(f => t / taxDivisor > AcceptWithin * f) => name
+    }.toSeq.sorted
     def qJson(m: Seq[(String, Double)]) =
       m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errs.toSeq.sortBy(_._1)
@@ -261,6 +291,7 @@ object Bench {
     // + totals; `value` stays the full-suite total (the BASELINE.json
     // contract's definition of BENCH).
     val inflJson = inflated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val inflAdjJson = inflatedAdj.map("\"" + _ + "\"").mkString("[", ",", "]")
     // session-config provenance: these three were re-tuned in round 8 (A/B
     // matrix in docs/BENCH_NOTES.md) and a future reader must be able to
     // tell which posture produced an artifact
@@ -271,9 +302,9 @@ object Bench {
       s""""aqe":$aqe,"shuffle":$sh,"broadcast":"$bc""""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"$headKey":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,$canaryJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"$headKey":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"inflated_adj":$inflAdjJson,$canaryJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,$canaryJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"inflated_adj":$inflAdjJson,$canaryJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(fullLine) finally w.close()

@@ -20,6 +20,7 @@ object SparkEntry {
       TextOps.registry ++ Corpus.registry ++ CorpusPrep.registry ++
       Curation.registry ++ EventAnalytics.registry ++ Retrieval.registry ++
       Refinery.registry ++ Provenance.registry ++ DedupOverlap.registry ++
+      DocEmbed.registry ++
       Vectors.registry ++ StreamShaped.registry ++
       ChangeDetect.registry ++ graft.multimodal.Multimodal.registry
 

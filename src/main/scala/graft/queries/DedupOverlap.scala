@@ -30,15 +30,18 @@ import org.apache.spark.sql.functions._
   *                  with a lower doc.
   *  - `substring` — docs REMOVED by `dedup_exact_substring` (≥50-token
   *                  verbatim run with a lower doc).
+  *  - `embedding` — docs flagged by `dedup_embedding_doc_lsh` (cosine ≥
+  *                  0.9 to a lower doc under the doc-keyed feature-hashed
+  *                  bigram embedding — see [[DocEmbed]]). This is the
+  *                  seventh family the r12 report documented as missing:
+  *                  the vec_id-keyed embeddings table has no doc linkage,
+  *                  so the semantic screen derives its doc_id-keyed
+  *                  embedding from the text itself (and reads a
+  *                  materialized doc_embeddings table where the corpus
+  *                  ships one).
   *
-  * `dedup_embedding_lsh` is deliberately NOT a row here: the fixture's
-  * embeddings table is keyed `vec_id` with no doc_id linkage, so a
-  * doc-level overlap against the text screens would be comparing ids
-  * from two unrelated key spaces. On a corpus whose embeddings carry
-  * doc_id the same union-frame shape extends directly.
-  *
-  * Output: (method_a ≤ method_b, n_overlap, n_unique) — exactly 21 rows
-  * for 6 methods, DENSE: a zero-overlap pair appears as an explicit 0
+  * Output: (method_a ≤ method_b, n_overlap, n_unique) — exactly 28 rows
+  * for 7 methods, DENSE: a zero-overlap pair appears as an explicit 0
   * (that row is the "these screens are complementary" signal the report
   * exists to surface — omitting it would hide the finding). Diagonal
   * rows carry the method's flagged-set size as n_overlap and its unique
@@ -47,9 +50,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: each screen keeps its own registered plan (all linear /
   * bucketed / df-capped shapes — that is WHY these are the cheap screens);
-  * the report adds one union of six (method, doc_id) flag frames, a
+  * the report adds one union of seven (method, doc_id) flag frames, a
   * doc_id-keyed self-join (fine-grained key, no hot reducer; flag sets
-  * are duplicate-sized, small next to the corpus), and a 21-row result.
+  * are duplicate-sized, small next to the corpus), and a 28-row result.
+  * The simhash flag frame is a per-signature window MIN, not a signature
+  * self-join (see inline note — the join form was quadratic-per-bucket).
   * The containment laws the matrix must satisfy (exact ⊆ substring on
   * ≥50-token docs, exact ⊆ minhash on ≥3-token docs, …) are pinned in
   * LawsSpec.
@@ -69,25 +74,31 @@ object DedupOverlap {
       .select(col("doc_b").as("doc_id")).distinct()
     val jaccard = TextOps.dedupNgramJaccard(spark, sf)
       .select(col("doc_b").as("doc_id")).distinct()
-    // simhash-keyed exchange barrier: the signature table is self-joined,
-    // and without it BOTH join sides re-run the full per-doc bit-sum
-    // aggregation (r12 sweep: the srR=5000/swR=1352 subtree executed
-    // twice). The self-join keys on simhash, so the barrier is the
-    // clustering the join needs anyway — the second side reads a
-    // ReusedExchange.
-    val sims = TextOps.dedupSimhash(spark, sf)
-      .select(col("doc_id"), col("simhash")).repartition(col("simhash"))
-    val simhash = sims
-      .join(sims.select(col("doc_id").as("lower_id"), col("simhash")), Seq("simhash"))
-      .where(col("lower_id") < col("doc_id"))
-      .select(col("doc_id")).distinct()
+    // "shares a signature with a LOWER doc" is a per-bucket MIN, not a
+    // self-join: the r12 frame joined the signature table to itself, and
+    // with only 65536 distinct keys bucket sizes grow linearly with the
+    // corpus, so pair mass is quadratic-per-bucket at web scale (ADVICE
+    // r12; this fixture already puts 1082 of 5000 sf0.1 docs in ONE
+    // signature bucket — ~585k pair rows for a flag set computable in one
+    // linear pass). A doc is flagged iff doc_id > min(doc_id) over its
+    // bucket: identical flag set, one signature-keyed window, no pair
+    // stream at any scale.
+    val simhash = TextOps.dedupSimhash(spark, sf)
+      .withColumn("lo",
+        org.apache.spark.sql.functions.min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
+      .where(col("doc_id") > col("lo"))
+      .select(col("doc_id"))
     val substring = TextOps.dedupExactSubstring(spark, sf).select(col("doc_id"))
+    val embedding = DocEmbed.dedupEmbeddingDocLsh(spark, sf)
+      .select(col("dup_id").as("doc_id"))
     Seq("exact" -> exact, "line" -> line, "minhash" -> minhash,
-      "jaccard" -> jaccard, "simhash" -> simhash, "substring" -> substring)
+      "jaccard" -> jaccard, "simhash" -> simhash, "substring" -> substring,
+      "embedding" -> embedding)
   }
 
   private[graft] val MethodNames =
-    Seq("exact", "jaccard", "line", "minhash", "simhash", "substring")
+    Seq("embedding", "exact", "jaccard", "line", "minhash", "simhash", "substring")
 
   def dedupOverlapReport(spark: SparkSession, sf: String): DataFrame = {
     // doc_id-keyed exchange barrier on the union: the flag frame feeds
@@ -142,10 +153,13 @@ object DedupOverlap {
        |), sims AS (
        |  SELECT * FROM (${TextOps.dedupSimhashSql})
        |), f_simhash AS (
-       |  SELECT DISTINCT a.doc_id FROM sims a
-       |  JOIN sims b ON a.simhash = b.simhash AND b.doc_id < a.doc_id
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY simhash) AS lo FROM sims)
+       |  WHERE doc_id > lo
        |), f_substring AS (
        |  SELECT doc_id FROM (${TextOps.dedupExactSubstringSql})
+       |), f_embedding AS (
+       |  SELECT dup_id AS doc_id FROM (${DocEmbed.dedupEmbeddingDocLshSql})
        |), flags AS (
        |  SELECT 'exact' AS method, doc_id FROM f_exact
        |  UNION ALL SELECT 'line', doc_id FROM f_line
@@ -153,6 +167,7 @@ object DedupOverlap {
        |  UNION ALL SELECT 'jaccard', doc_id FROM f_jaccard
        |  UNION ALL SELECT 'simhash', doc_id FROM f_simhash
        |  UNION ALL SELECT 'substring', doc_id FROM f_substring
+       |  UNION ALL SELECT 'embedding', doc_id FROM f_embedding
        |), ov AS (
        |  SELECT x.method AS method_a, y.method AS method_b,
        |    CAST(COUNT(*) AS BIGINT) AS n_hits
@@ -165,7 +180,7 @@ object DedupOverlap {
        |    USING (doc_id)
        |  GROUP BY 1
        |), methods AS (
-       |  SELECT unnest(['exact', 'jaccard', 'line', 'minhash', 'simhash', 'substring']) AS method
+       |  SELECT unnest(['embedding', 'exact', 'jaccard', 'line', 'minhash', 'simhash', 'substring']) AS method
        |), all_pairs AS (
        |  SELECT a.method AS method_a, b.method AS method_b
        |  FROM methods a JOIN methods b ON a.method <= b.method

@@ -225,8 +225,17 @@ object DataGen {
     writeTable(orders(spark, nOrders, nCust), out, "orders")
     writeTable(lineitem(spark, nOrders, nPart, nSupp, nCust), out, "lineitem")
     writeTable(events(spark, n(1000000), n(15000)), out, "events")
-    writeTable(documents(spark, n(50000)), out, "documents")
+    val docs = documents(spark, n(50000))
+    writeTable(docs, out, "documents")
     writeTable(embeddings(spark, n(20000)), out, "embeddings")
+    // doc_id-KEYED embedding linkage (VERDICT r12 item 1): the vec_id-keyed
+    // embeddings table above stays byte-stable; this extra table carries
+    // per-document embeddings — here materialized from the deterministic
+    // text featurizer (graft.queries.DocEmbed, the same derivation
+    // DocEmbed.docEmbeddings falls back to where no file exists; pinned
+    // equal in DocEmbedSpec), the slot a real corpus fills with model
+    // outputs.
+    writeTable(graft.queries.DocEmbed.deriveDocEmbeddings(docs), out, "doc_embeddings")
   }
 
   def main(args: Array[String]): Unit = {

@@ -218,6 +218,9 @@ class LawsSpec extends AnyFunSuite {
     // synthesis drifted), while the near-dup screens have mass
     assert(sets("exact").isEmpty)
     assert(sets("minhash").nonEmpty && sets("substring").nonEmpty)
+    // the semantic screen has fixture mass too (near-dup bigram bags exist
+    // even with zero byte-identical texts — measured 20 flags at sf0.01)
+    assert(sets("embedding").nonEmpty)
   }
 
   test("dedup_overlap_report: containment theorems on a planted corpus with every dup species") {
@@ -266,5 +269,16 @@ class LawsSpec extends AnyFunSuite {
     assert(exact.filter(nToks(_) >= 50).subsetOf(sets("substring")), "exact∩{≥50 tok} ⊄ substring")
     // the substring-only species is caught by substring and nothing exact
     assert(sets("substring").contains(31L) && !exact.contains(31L))
+    //  - embedding (the CROSS-MODAL law, VERDICT r12 item 1): identical
+    //    text ⇒ identical bigram bag ⇒ identical integer vector ⇒ same
+    //    sign bucket and cosine exactly 1 ≥ 0.9 — so the semantic screen
+    //    must catch every exact dup in its domain (≥ 2 tokens, nonzero
+    //    featurizer norm; every planted dup has an ODD bigram count, and
+    //    an odd number of ±1 contributions cannot sum to the zero vector,
+    //    so the norm is nonzero by parity, not by luck)
+    assert(exact.subsetOf(sets("embedding")), "exact ⊄ embedding")
+    //  - and the 2-token pair (below minhash's shingle domain) IS in the
+    //    embedding domain — the semantic screen catches what minhash can't
+    assert(sets("embedding").contains(41L))
   }
 }

@@ -284,4 +284,36 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((100L, h), (200L, h ^ spread)).toDF("doc_id", "ahash"), maxHamming = 4).collect()
     assert(none.isEmpty, "pigeonhole boundary: 4 one-per-band flips should not collide")
   }
+
+  test("PCM sample stats: decoded values equal the generation formula exactly (golden pin)") {
+    // the audio analog of the golden aHash: full-decode stats over a
+    // matrix of (rate, channels, n, seed) must equal the formula the
+    // audio_stats oracle recomputes in SQL — per SAMPLE, not per header
+    val reader = Multimodal.newWavReader()
+    for {
+      (rate, ch, n, seed) <- Seq(
+        (8000, 1, 40L, 0L), (16000, 2, 41L, 7L), (24000, 1, 4000L, 612L), (8000, 2, 123L, 99999L))
+    } {
+      val bytes = Multimodal.makeWav(rate, ch, n, seed)
+      val (nv, peak, sumSq) = Multimodal.wavSampleStats(reader, bytes)
+      val want = (0L until ch * n).map(i => (i * 2654435761L + seed * 40503L) % 65536L - 32768L)
+      assert(nv === ch * n, s"($rate,$ch,$n,$seed) value count")
+      assert(peak === want.map(math.abs).max, s"($rate,$ch,$n,$seed) peak")
+      assert(sumSq === want.map(s => s * s).sum, s"($rate,$ch,$n,$seed) energy")
+    }
+  }
+
+  test("audio_stats registered query: decoded stats per doc, rms bounded by peak") {
+    val out = Multimodal.audioStats(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nv, peak, sumSq, rms) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nv > 0 && peak <= 32768 && sumSq > 0)
+      assert(math.abs(rms - math.sqrt(sumSq.toDouble / nv)) < 1e-12)
+      assert(rms <= peak + 1e-9)
+    }
+    // doc_ids are the odd-n_chars documents, sorted
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(ids === ids.sorted)
+  }
 }
