@@ -71,8 +71,8 @@ object DocEmbed {
     * bigrams and drop out (no embedding — documented in [[docEmbeddings]]).
     */
   private def bigramSigns(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), TextOps.tokensCol.as("t"))
+    TextOps.ensureTokens(docs)
+      .select(col("doc_id"), col("t"))
       .where(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> md5(cast(concat(element_at(t, i), ' ', element_at(t, i + 1)) as binary)))"))
@@ -129,8 +129,12 @@ object DocEmbed {
     * → each flagged doc reports its smallest lower-id partner, the same
     * (dup_id, canonical_id, cosine) shape as dedup_embedding_lsh.
     */
-  def dedupEmbeddingDocLsh(spark: SparkSession, sf: String): DataFrame = {
-    val docs = Det.spreadSmallScan(spark, Tables.documents(spark, sf))
+  def dedupEmbeddingDocLsh(spark: SparkSession, sf: String): DataFrame =
+    dedupEmbeddingDocLshFrom(Det.spreadSmallScan(spark, Tables.documents(spark, sf)))
+
+  /** [[dedupEmbeddingDocLsh]] over a caller-supplied documents frame (the
+    * overlap report's shared-corpus seam). */
+  private[graft] def dedupEmbeddingDocLshFrom(docs: DataFrame): DataFrame = {
     // The 16 components PACK INTO ONE ARRAY ATTRIBUTE before the self-join
     // — load-bearing, not style: a first cut carried c0..c15 as 16 renamed
     // columns per join side and the cosine filter over them sent Catalyst

@@ -72,8 +72,8 @@ object Refinery {
     * two can never segment differently.
     */
   private[graft] def docLines(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), tokensCol.as("t"))
+    TextOps.ensureTokens(docs)
+      .select(col("doc_id"), col("t"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, int(ceil(size(t) / 8.0))), " +
           "i -> struct(CAST(i AS BIGINT) AS line_id, " +
@@ -81,8 +81,13 @@ object Refinery {
         .as("l"))
       .select(col("doc_id"), col("l.line_id"), col("l.line_text"))
 
-  def lineDedupRebuild(spark: SparkSession, sf: String): DataFrame = {
-    val lines = docLines(Det.spreadSmallScan(spark, Tables.documents(spark, sf)))
+  def lineDedupRebuild(spark: SparkSession, sf: String): DataFrame =
+    lineDedupRebuildFrom(Det.spreadSmallScan(spark, Tables.documents(spark, sf)))
+
+  /** [[lineDedupRebuild]] over a caller-supplied documents frame (the
+    * overlap report's shared-corpus seam). */
+  private[graft] def lineDedupRebuildFrom(docs: DataFrame): DataFrame = {
+    val lines = docLines(docs)
     val boiler = lines
       .groupBy(col("line_text"))
       .agg(countDistinct(col("doc_id")).as("df"))

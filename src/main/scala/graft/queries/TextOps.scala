@@ -31,6 +31,18 @@ object TextOps {
     */
   private[queries] def tokensCol: Column = split(lower(col("text")), " ")
 
+  /** Ensure a `t` token-array column (the [[tokensCol]] split) on a
+    * documents-shaped frame — pass-through when the caller already carries
+    * one. This is the shared-corpus seam (VERDICT r12 item 4): the overlap
+    * report tokenizes the corpus ONCE (checkpointed) and feeds all seven
+    * screens through their `*From` variants, while every standalone
+    * registered query keeps its plan (a projected-away withColumn is free
+    * under column pruning). Convention: a column named `t` on a documents
+    * frame ALWAYS means this split — nothing else may use the name.
+    */
+  private[graft] def ensureTokens(docs: DataFrame): DataFrame =
+    if (docs.columns.contains("t")) docs else docs.withColumn("t", tokensCol)
+
   // ---------------------------------------------------------------- §2.I1
   /** Tokenize + explode (the Generate path) → corpus word counts, top 100. */
   def tokenizeWordcount(spark: SparkSession, sf: String): DataFrame =
@@ -80,8 +92,12 @@ object TextOps {
     * via row_number — never dropDuplicates (survivor = partition luck).
     */
   def dedupDocsExact(spark: SparkSession, sf: String): DataFrame =
-    Tables
-      .documents(spark, sf)
+    dedupDocsExactFrom(Tables.documents(spark, sf))
+
+  /** [[dedupDocsExact]] over a caller-supplied documents frame (text-keyed;
+    * the overlap report's shared-corpus seam). */
+  private[graft] def dedupDocsExactFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("content_md5", md5(col("text").cast("binary")))
       .withColumn(
         "rn",
@@ -209,14 +225,18 @@ object TextOps {
     * the artifact a production deployment persists per corpus version
     * ([[dedupMinhashProbe]]) and the in-query build step everywhere else.
     */
-  private[queries] def minhashBandTable(spark: SparkSession, sf: String): DataFrame = {
-    // No distinct() on shingles: min() is idempotent over duplicates, so
-    // deduplication would only add a shuffle without changing any minhash.
+  private[queries] def minhashBandTable(spark: SparkSession, sf: String): DataFrame =
     // spreadSmallScan (harness-gated): the 8-seeded-md5 partial agg above
     // the scan is the hot part — 8 hashes per shingle row.
-    val shingles = Det
-      .spreadSmallScan(spark, Tables.documents(spark, sf))
-      .select(col("doc_id"), tokensCol.as("t"))
+    minhashBandTableOf(Det.spreadSmallScan(spark, Tables.documents(spark, sf)))
+
+  /** [[minhashBandTable]] over a caller-supplied documents frame (the
+    * overlap report's shared-corpus seam). */
+  private[graft] def minhashBandTableOf(docs: DataFrame): DataFrame = {
+    // No distinct() on shingles: min() is idempotent over duplicates, so
+    // deduplication would only add a shuffle without changing any minhash.
+    val shingles = ensureTokens(docs)
+      .select(col("doc_id"), col("t"))
       .where(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
@@ -280,6 +300,12 @@ object TextOps {
 
   def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame =
     minhashCandidatePairs(spark, sf).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[dedupMinhashLsh]] over a caller-supplied documents frame (the
+    * overlap report's shared-corpus seam — same band table, pairs and
+    * contract sort as the registered form). */
+  private[graft] def dedupMinhashLshFrom(docs: DataFrame): DataFrame =
+    bandPairs(minhashBandTableOf(docs)).orderBy(col("doc_a"), col("doc_b"))
 
   /** Per-ROW MinHash band hashes — the SAME signature math as
     * [[minhashCandidatePairs]] but computed entirely inside one projection
@@ -740,10 +766,14 @@ object TextOps {
         .otherwise(-1)).as(s"s$p")
   }
 
-  def dedupSimhash(spark: SparkSession, sf: String): DataFrame = {
-    val tokenHashes = Tables
-      .documents(spark, sf)
-      .select(col("doc_id"), explode(tokensCol).as("token"))
+  def dedupSimhash(spark: SparkSession, sf: String): DataFrame =
+    dedupSimhashFrom(Tables.documents(spark, sf))
+
+  /** [[dedupSimhash]] over a caller-supplied documents frame (the overlap
+    * report's shared-corpus seam). */
+  private[graft] def dedupSimhashFrom(docs: DataFrame): DataFrame = {
+    val tokenHashes = ensureTokens(docs)
+      .select(col("doc_id"), explode(col("t")).as("token"))
       .where(col("token") =!= "")
       .distinct()
       .select(col("doc_id"), md5(col("token").cast("binary")).as("h"))
@@ -803,7 +833,13 @@ object TextOps {
     * the df-capped output is row-identical to the uncapped plan at every SF
     * (pinned by TextOpsAltSpec alongside a candidate-count bound).
     */
-  def dedupNgramJaccard(spark: SparkSession, sf: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, sf: String): DataFrame =
+    dedupNgramJaccardFrom(Tables.documents(spark, sf))
+
+  /** [[dedupNgramJaccard]] over a caller-supplied documents frame (the
+    * overlap report's shared-corpus seam; needs doc_id/lang/source and
+    * text or a pre-split `t`). */
+  private[graft] def dedupNgramJaccardFrom(docs: DataFrame): DataFrame = {
     // Formulation notes (each measured, warm):
     //  - bigram dedup is within-doc, so it now happens PER ROW via the
     //    codegen [[graft.functions.DistinctNgrams]] hash-set expression
@@ -827,9 +863,8 @@ object TextOps {
     //    pair-join aggregation (cheap, exact), and only the HOT bigrams
     //    (df > cap; none at all in ordinary corpus slices, boilerplate-
     //    sized sets otherwise) are re-intersected as small per-doc arrays.
-    val bigrams = Tables
-      .documents(spark, sf)
-      .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("t"))
+    val bigrams = ensureTokens(docs)
+      .select(col("doc_id"), col("lang"), col("source"), col("t"))
       .where(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"), col("source"),
         graft.functions.DistinctNgrams.distinct_ngrams(col("t"), 2).as("bgs"))
@@ -989,8 +1024,8 @@ object TextOps {
     * lesson).
     */
   private def tokenWindows(docs: DataFrame, width: Int, step: Int = 1): DataFrame =
-    docs
-      .select(col("doc_id"), tokensCol.as("t"))
+    ensureTokens(docs)
+      .select(col("doc_id"), col("t"))
       .where(size(col("t")) >= SubstrRunLen)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(t) - $width + 1, $step), i -> array_join(slice(t, i, $width), ' '))")).as("g"))
