@@ -43,9 +43,11 @@ import graft.Tables
   * quadratic-per-bucket at web scale. A capped bucket proposes ≤ Cap²/2
   * pairs, bounding the candidate stream linearly in corpus size. Policy
   * boundary, stated honestly: docs whose bucket exceeds the cap are not
-  * flagged by THIS screen (measured fixture occupancy: max bucket 7 at
-  * sf0.1, 21 at sf1 — two orders of magnitude under the cap, so fixture
-  * output is cap-independent; the cap exists for the web-scale corpus).
+  * flagged by THIS screen. Measured fixture occupancy (max bucket size):
+  * 15 at sf0.1, 146 at sf1, 419 at sf3 — the cap first binds at sf3,
+  * where exactly one bucket (the near-zero-vector short-doc pattern)
+  * crosses it and is excluded in BOTH engines, so the sf3 oracle sweep
+  * exercises the defense itself, not just its dormant path.
   */
 object DocEmbed {
 
