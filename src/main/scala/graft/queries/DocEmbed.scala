@@ -153,12 +153,24 @@ object DocEmbed {
     // bucket self-join; repartition on the join key makes the second side
     // a ReusedExchange instead of a recompute (same defense as the
     // simhash frame formerly needed in DedupOverlap, r12 sweep).
-    val vecs = docEmbedComponents(docs)
+    screenOverVectors(featurizedVectors(docs).repartition(col("bkt")))
+  }
+
+  /** (doc_id, norm, bkt, v[16]): the featurized + bucketed vector table —
+    * the expensive half of the screen (Generate+md5+aggregate), and the
+    * artifact the persisted-index regime stores per corpus version.
+    */
+  private[graft] def featurizedVectors(docs: DataFrame): DataFrame =
+    docEmbedComponents(docs)
       .withColumn("norm", sqrt(normSq.cast("double")))
       .where(col("norm") > 0)
       .select(col("doc_id"), col("norm"), signBucket.as("bkt"),
         array(compCols: _*).as("v"))
-      .repartition(col("bkt"))
+
+  /** The cheap half: df-capped bucket self-join + cosine confirm + the
+    * keep-lowest reduction, over any [[featurizedVectors]]-shaped frame.
+    */
+  private def screenOverVectors(vecs: DataFrame): DataFrame = {
     val sized = vecs
       .withColumn("bn",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("bkt"))))
@@ -179,6 +191,36 @@ object DocEmbed {
       .where(col("rn") === 1)
       .select(col("b_id").as("dup_id"), col("a_id").as("canonical_id"), col("cosine"))
       .orderBy(col("dup_id"))
+  }
+
+  // ------------------------------------------------ persisted-index regime
+  /** v1: (doc_id, norm, bkt, v), 16 signed-bigram dims + sign bucket. */
+  private def docEmbedIndexDir(sf: String): String =
+    graft.ops.IndexStore.indexDir("graft_docemb_v1", sf, Tables.path(sf, "documents"))
+
+  def buildDocEmbedIndex(spark: SparkSession, sf: String): String =
+    graft.ops.IndexStore.buildOnce(docEmbedIndexDir(sf), "vecs/_SUCCESS") { staging =>
+      featurizedVectors(Det.spreadSmallScan(spark, Tables.documents(spark, sf)))
+        .write.mode("overwrite").parquet(s"$staging/vecs")
+    }
+
+  /** Persisted-index regime of [[dedupEmbeddingDocLsh]] — the same
+    * train/probe split every dedup family carries (minhash, substring,
+    * IVF, LSH, eqmass): the featurized vector table is built and
+    * persisted ONCE per (sf, source fingerprint) via
+    * [[graft.ops.IndexStore]]; the probe reads it and runs only the
+    * bucket self-join + cosine confirm. The incremental-ingest shape at
+    * 100 TB: each document version is featurized once, and a new shard's
+    * vectors join the persisted corpus index. Featurization is
+    * deterministic, so output is identical to the in-query form — the
+    * probe registers against the SAME oracle SQL.
+    */
+  def dedupEmbeddingDocProbe(spark: SparkSession, sf: String): DataFrame = {
+    val dir = docEmbedIndexDir(sf)
+    val resolved =
+      if (new java.io.File(s"$dir/vecs/_SUCCESS").exists()) dir
+      else buildDocEmbedIndex(spark, sf)
+    screenOverVectors(spark.read.parquet(s"$resolved/vecs"))
   }
 
   val dedupEmbeddingDocLshSql: String = {
@@ -222,5 +264,7 @@ object DocEmbed {
   }
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    Seq(("dedup_embedding_doc_lsh", dedupEmbeddingDocLsh _, dedupEmbeddingDocLshSql))
+    Seq(
+      ("dedup_embedding_doc_lsh", dedupEmbeddingDocLsh _, dedupEmbeddingDocLshSql),
+      ("dedup_embedding_doc_probe", dedupEmbeddingDocProbe _, dedupEmbeddingDocLshSql))
 }

@@ -76,6 +76,15 @@ class DocEmbedSpec extends AnyFunSuite {
     assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("persisted-index probe output is identical to the in-query screen") {
+    val base = DocEmbed.dedupEmbeddingDocLsh(spark, Sf001).collect().toSeq.map(_.toString)
+    val probe = DocEmbed.dedupEmbeddingDocProbe(spark, Sf001).collect().toSeq.map(_.toString)
+    assert(probe === base)
+    // second probe call hits the persisted index (dir exists, no rebuild)
+    val again = DocEmbed.dedupEmbeddingDocProbe(spark, Sf001).collect().toSeq.map(_.toString)
+    assert(again === base)
+  }
+
   test("fixture screen is deterministic across runs and nonempty at sf0.01") {
     val a = DocEmbed.dedupEmbeddingDocLsh(spark, Sf001).collect().toSeq.map(_.toString)
     val b = DocEmbed.dedupEmbeddingDocLsh(spark, Sf001).collect().toSeq.map(_.toString)

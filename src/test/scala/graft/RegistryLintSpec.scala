@@ -27,7 +27,7 @@ class RegistryLintSpec extends AnyFunSuite {
     "case_when_classify", "cast_coalesce", "change_detect", "change_summary", "chunk_dedup", "click_view_attribution",
     "cluster_topics", "cluster_topics_probe", "cohort_retention", "contamination_check", "contamination_semantic", "corpus_yield_report",
     "cosine_topk", "cross_source_dedup", "daily_counts", "date_funcs", "dedup_bloom_prefilter", "dedup_clusters",
-    "dedup_clusters_fixpoint", "dedup_clusters_stars", "dedup_docs_exact", "dedup_edit_distance", "dedup_embedding_cosine", "dedup_embedding_doc_lsh", "dedup_embedding_lsh",
+    "dedup_clusters_fixpoint", "dedup_clusters_stars", "dedup_docs_exact", "dedup_edit_distance", "dedup_embedding_cosine", "dedup_embedding_doc_lsh", "dedup_embedding_doc_probe", "dedup_embedding_lsh",
     "dedup_embedding_lsh_eqmass", "dedup_embedding_lsh_eqmass_probe", "dedup_exact_substring", "dedup_exact_substring_capped", "dedup_exact_substring_probe", "dedup_keep_best",
     "dedup_latest", "dedup_minhash_lsh", "dedup_minhash_probe", "dedup_ngram_jaccard", "dedup_overlap_report", "dedup_semantic",
     "dedup_semantic_probe", "dedup_simhash", "dedup_substring_rewrite", "distinct_users_daily", "distinct_values", "doc_chunking",
@@ -48,12 +48,12 @@ class RegistryLintSpec extends AnyFunSuite {
     "window_moving_avg", "window_rank", "window_rank_twophase", "window_rolling_range", "window_running_sum", "window_topk_per_group",
     "winnow_fingerprints")
 
-  test("SparkEntry.queries covers the frozen contract-name set (151 oracle names + image_ahash rows-only)") {
+  test("SparkEntry.queries covers the frozen contract-name set (153 oracle names + image_ahash rows-only)") {
     // freeze-forward (r13): the list now carries EVERY oracle-checked name
-    // through round 13 — 151 names; image_ahash stays outside because it
+    // through round 13 — 153 names; image_ahash stays outside because it
     // is the one sanctioned rows-only row (no SQL engine decodes pixels)
     // and the oracle assert below must stay total over the list.
-    assert(contractNames.size === 152)
+    assert(contractNames.size === 153)
     val missing = contractNames -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
       s"contract queries dropped from the registry: ${missing.toSeq.sorted.mkString(", ")}")
