@@ -132,9 +132,20 @@ object DedupOverlap {
     // (r12 sweep: the 39505→5885 union subtree executed twice at 2.2 s
     // CPU each). The self-join needs doc_id clustering anyway; the other
     // consumers read the ReusedExchange.
+    // The explicit isNotNull is a no-op on the data (every flag frame
+    // emits non-null doc_ids by construction) but load-bearing for the
+    // barrier: the overlap SELF-JOIN infers isnotnull(doc_id) and pushes
+    // it INTO its copy of the union, while the loners aggregate infers
+    // nothing — without this filter the two consumers' union subtrees
+    // canonicalize differently, ReuseExchange cannot fire, and the whole
+    // 7-screen union's post-exchange map work executes twice (r13 sweep:
+    // two identical srR=7261/swR=6074 stages at ~1.1 s CPU each). With
+    // it, every consumer carries the same pushed filter and reads ONE
+    // exchange.
     val flags = flaggedSets(spark, sf)
       .map { case (m, df) => df.select(lit(m).as("method"), col("doc_id")) }
       .reduce(_.unionByName(_))
+      .where(col("doc_id").isNotNull)
       .repartition(col("doc_id"))
     val overlap = flags.select(col("method").as("method_a"), col("doc_id"))
       .join(flags.select(col("method").as("method_b"), col("doc_id")), Seq("doc_id"))
