@@ -186,14 +186,15 @@ object Bench {
     // (ADVICE r12): a directory merely ending in "sf1" (data/mysf1) must
     // not silently pick sf1's floors and emit a misleading window_tax.
     def sfSegment: String = sfDir.replaceAll("/+$", "").split('/').last
+    val perSfFloorsFile: Option[java.io.File] = sfSegment match {
+      case "sf0.1" => Some(new java.io.File("docs/bench_floors.json"))
+      case "sf1"   => Some(new java.io.File("docs/bench_floors_sf1.json"))
+      case "sf3"   => Some(new java.io.File("docs/bench_floors_sf3.json"))
+      case _       => None
+    }
     val floorsFile: Option[java.io.File] = sys.env.get("SPARK_GRAFT_FLOORS")
       .map(new java.io.File(_))
-      .orElse(sfSegment match {
-        case "sf0.1" => Some(new java.io.File("docs/bench_floors.json"))
-        case "sf1"   => Some(new java.io.File("docs/bench_floors_sf1.json"))
-        case "sf3"   => Some(new java.io.File("docs/bench_floors_sf3.json"))
-        case _       => None
-      })
+      .orElse(perSfFloorsFile)
     val floors: Map[String, Double] = {
       // retry-gating floors apply only at the sf they were measured at:
       // explicit SPARK_GRAFT_FLOORS, or the default sf0.1 file at sf0.1.
@@ -249,12 +250,18 @@ object Bench {
       else if (canaryS.isDefined) "oob"
       else "none"
     // canary floor: the retry-gating floors map when applicable, else the
-    // per-sf floors FILE resolved above (segment-equality, never suffix)
+    // resolved floors file, else — when an env-supplied floors file lacks
+    // the canary row (ADVICE r13) — the segment-resolved per-sf floors
+    // file, so a custom retry map never silently costs the window_tax.
     val canaryFloor: Option[Double] = floors.get(CanaryQuery)
       .orElse(floorsFile.flatMap(f => readFloors(f).get(CanaryQuery)))
+      .orElse(perSfFloorsFile.flatMap(f => readFloors(f).get(CanaryQuery)))
     val windowTax: Option[Double] =
       for (c <- canaryS; f <- canaryFloor if f > 0) yield round3(c / f)
-    val floorsFileJson = floorsFile.fold("null")(f => "\"" + f.getPath + "\"")
+    // JSON-escape the path (ADVICE r13): an env-supplied floors path with
+    // a quote or backslash must not corrupt the one-line artifact.
+    val floorsFileJson = floorsFile.fold("null")(f =>
+      "\"" + f.getPath.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val canaryJson = s""""canary":"$CanaryQuery","canary_s":${canaryS.getOrElse(-1)},"canary_src":"$canarySrc","window_tax":${windowTax.getOrElse(-1)},"floors_file":$floorsFileJson"""
     // Tax-aware inflated list (VERDICT r12 item 6): a taxed window inflates
     // EVERY row by ~window_tax, so the raw floor comparison flags dozens of

@@ -108,7 +108,13 @@ object DocEmbed {
     */
   def docEmbeddings(spark: SparkSession, sf: String): DataFrame = {
     val p = Tables.path(sf, "doc_embeddings")
-    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    // Probe through the Hadoop FileSystem API, not java.io.File (VERDICT
+    // r13 item 4): the linked table is a DATA path, so on a cluster it is
+    // hdfs:// or s3a:// and a local-FS probe would silently fall back to
+    // the derivation even when the materialized table exists.
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val exists = hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+    if (exists) spark.read.parquet(p)
     else deriveDocEmbeddings(Tables.documents(spark, sf))
   }
 
@@ -149,9 +155,10 @@ object DocEmbed {
     // CANDIDATE pair — pairs are df-cap-bounded, never the hot path).
     //
     // bucket-keyed exchange barrier: the component aggregation (the
-    // Generate+md5 pass, the expensive subtree) feeds BOTH sides of the
-    // bucket self-join; repartition on the join key makes the second side
-    // a ReusedExchange instead of a recompute (same defense as the
+    // Generate+md5 pass, the expensive subtree) feeds the df-cap count
+    // agg AND both sides of the bucket self-join; repartition on the join
+    // key satisfies all three distributions, so the later consumers read
+    // a ReusedExchange instead of recomputing (same defense as the
     // simhash frame formerly needed in DedupOverlap, r12 sweep).
     screenOverVectors(featurizedVectors(docs).repartition(col("bkt")))
   }
@@ -171,10 +178,39 @@ object DocEmbed {
     * keep-lowest reduction, over any [[featurizedVectors]]-shaped frame.
     */
   private def screenOverVectors(vecs: DataFrame): DataFrame = {
-    val sized = vecs
-      .withColumn("bn",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("bkt"))))
-      .where(col("bn") <= EmbedBucketCap)
+    // The df-cap gate is a groupBy count broadcast-joined back, NOT a
+    // bucket-partitioned count window (VERDICT r13 item 1b): with only
+    // 2^16 keys a window partition is one task, so bucket occupancy —
+    // linear in corpus size, measured 15/146/419 at sf0.1/1/3 — would
+    // concentrate on single buffering WindowExec tasks at scale. The
+    // groupBy's map-side partial agg collapses to ≤ 65536 rows before its
+    // shuffle; pre-filtering to bn ≤ cap makes the broadcast join the gate
+    // itself (capped buckets simply don't match). Under the LSH path's
+    // bkt-keyed barrier all three consumers (count agg + both self-join
+    // sides) read the ONE featurizer exchange.
+    //
+    // Exchange-reuse alignment (both load-bearing — dropping either one
+    // splits the plan into TWO featurizer subtrees, re-running the
+    // Generate+md5 pass per branch): (1) the no-op isNotNull mirrors the
+    // constraint the self-join's `a_id < b_id` infers into the streamed
+    // branch's scan, (2) the first(...)s stop column pruning from
+    // narrowing the count branch's exchange to {bkt} — first() over
+    // ≤ 65536 post-combine groups is noise next to a second featurizer.
+    val shared = vecs.where(col("doc_id").isNotNull)
+    // The `_d/_n/_v` firsts must survive into the filter — Catalyst prunes
+    // unreferenced aggregates, and a pruned count branch narrows its
+    // exchange to {bkt}, splitting the plan back into two featurizer
+    // subtrees. The disjunct is vacuously true (first() over a non-empty
+    // group of non-null doc_ids), but the optimizer cannot prove that, so
+    // all columns stay referenced and the branch reads the ReusedExchange.
+    val smallBuckets = shared
+      .groupBy(col("bkt")).agg(count(lit(1)).as("bn"),
+        first(col("doc_id")).as("_d"), first(col("norm")).as("_n"),
+        first(col("v")).as("_v"))
+      .where(col("bn") <= EmbedBucketCap &&
+        (col("_d").isNotNull || col("_n").isNotNull || size(col("_v")) >= 0))
+      .select(col("bkt"))
+    val sized = shared.join(broadcast(smallBuckets), Seq("bkt"))
     val a = sized.select(col("doc_id").as("a_id"), col("norm").as("a_norm"),
       col("bkt"), col("v").as("va"))
     val b = sized.select(col("doc_id").as("b_id"), col("norm").as("b_norm"),

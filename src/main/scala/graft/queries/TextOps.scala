@@ -41,7 +41,17 @@ object TextOps {
     * frame ALWAYS means this split — nothing else may use the name.
     */
   private[graft] def ensureTokens(docs: DataFrame): DataFrame =
-    if (docs.columns.contains("t")) docs else docs.withColumn("t", tokensCol)
+    if (docs.columns.contains("t")) {
+      // The convention trusts the name — so a name collision must fail
+      // fast, not silently change every screen's semantics (ADVICE r13).
+      // Only the TYPE is checkable at plan time; carrying a non-tokensCol
+      // array<string> remains the caller's contract to uphold.
+      docs.schema("t").dataType match {
+        case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _) => docs
+        case other => throw new IllegalArgumentException(
+          s"column 't' on a documents frame is reserved for the tokensCol split (array<string>); found $other")
+      }
+    } else docs.withColumn("t", tokensCol)
 
   // ---------------------------------------------------------------- §2.I1
   /** Tokenize + explode (the Generate path) → corpus word counts, top 100. */

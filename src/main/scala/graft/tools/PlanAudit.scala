@@ -49,7 +49,20 @@ object PlanAudit {
         val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
         val fullScans = "ReadSchema: struct<([^>]*)>".r
           .findAllMatchIn(plan).map(_.group(1).count(_ == ',') + 1).toSeq
-        println(f"$name%-28s shuffles=$exchanges%-3d codegenSpans=$codegen%-3d scanCols=${fullScans.mkString("/")}%-12s joins=[$joins]")
+        // WindowExec partition keys, for the low-cardinality window sweep:
+        // a key whose cardinality does not grow with the data puts a whole
+        // key's rows on ONE task — unless the window is a rank-family
+        // filter Spark rewrites to partial WindowGroupLimit (wgl = count
+        // of map-side pre-limits in the plan).
+        val wgl = n("WindowGroupLimit [^\\n]*Partial")
+        val windowKeys = "windowspecdefinition\\((.*?)specifiedwindowframe"
+          .r.findAllMatchIn(plan)
+          .map(_.group(1).split(", ")
+            .filterNot(t => t.contains(" ASC") || t.contains(" DESC") || t.trim.isEmpty)
+            .map(_.trim.takeWhile(_ != '#')).filter(_.nonEmpty).mkString("+"))
+          .map(k => if (k.isEmpty) "GLOBAL" else k)
+          .toSeq.distinct
+        println(f"$name%-28s shuffles=$exchanges%-3d codegenSpans=$codegen%-3d scanCols=${fullScans.mkString("/")}%-12s windows=[${windowKeys.mkString(",")}] wgl=$wgl%-2d joins=[$joins]")
       } catch { case e: Throwable => println(s"$name AUDIT FAILED: ${e.getMessage.take(100)}") }
     }
     spark.stop()

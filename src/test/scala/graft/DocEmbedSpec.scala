@@ -64,6 +64,16 @@ class DocEmbedSpec extends AnyFunSuite {
       assert(a === b, "materialized linkage table drifted from the derivation")
     } finally {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/doc_embeddings.parquet"))
+      // the staging dir must not linger in the shared planted corpus
+      // (ADVICE r13) — later tests treat that dir as the whole fixture
+      val tmpDir = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.exists(tmpDir)) {
+        val walk = java.nio.file.Files.walk(tmpDir)
+        try
+          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
     }
   }
 

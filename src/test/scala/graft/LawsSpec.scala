@@ -188,8 +188,10 @@ class LawsSpec extends AnyFunSuite {
   }
 
   /** Collects each screen's flagged set and checks the report IS the
-    * matrix of those sets — dense 21 rows, overlap + unique recomputed in
-    * plain Scala. Returns the sets for the caller's own laws.
+    * matrix of those sets — dense n(n+1)/2 rows over
+    * DedupOverlap.MethodNames (28 for the current 7 methods), overlap +
+    * unique recomputed in plain Scala. Returns the sets for the caller's
+    * own laws.
     */
   private def checkOverlapMatrix(sf: String): Map[String, Set[Long]] = {
     import graft.queries.DedupOverlap
