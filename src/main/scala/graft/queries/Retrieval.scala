@@ -127,14 +127,36 @@ object Retrieval {
     * in tokens, output = one row per source.
     */
   def sourceKlDrift(spark: SparkSession, sf: String): DataFrame = {
+    // isNotNull seeds are data-level no-ops (token survives `<> ''`, the
+    // fixture's source is never null) that keep every consumer's copy of
+    // this subtree canonically equal once the joins below infer the same
+    // constraints into the main stream (BENCH_NOTES §40/§42 trap class).
     val toks = Tables.documents(spark, sf)
       .select(col("source"), explode(TextOps.tokensCol).as("token"))
-      .where(col("token") =!= "")
+      .where(col("token") =!= "" && col("source").isNotNull && col("token").isNotNull)
+    // ONE pass over the token stream (r14; previously four) — n_s / c_t /
+    // n are exact integer re-aggregations of the finest aggregate srcTok
+    // (same move as bigram_lm_score's c1-from-c2 and cluster_topics'
+    // nc/ct/nt-from-ctc): the three derived tables re-shuffle the
+    // |sources|×|vocab|-bounded (source, token) counts instead of
+    // re-running the corpus explode, and all four consumers read the ONE
+    // (source, token)-keyed exchange.
     val srcTok = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
-    val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-    val corpusTok = toks.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
-    val vocab = corpusTok.agg(count(lit(1)).as("v"))
-    val tot = toks.agg(count(lit(1)).as("n"))
+    val srcTot = srcTok.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val corpusTok = srcTok.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    // The `_c` first() must survive into the filter (the DocEmbed §42
+    // anchor): a bare count over corpusTok lets column pruning drop c_t,
+    // collapse the aggregate to distinct tokens, and prune `source` out of
+    // the scan — that branch then no longer canonicalizes with the shared
+    // srcTok exchange and re-runs the whole corpus explode (r14 plan dump:
+    // a second Generate pass for vocab alone). The disjunct is vacuously
+    // true but unprovable, so c_t stays referenced and the vocab branch
+    // reads the ReusedExchange like every other consumer.
+    val vocab = corpusTok
+      .agg(count(lit(1)).as("v"), first(col("c_t")).as("_c"))
+      .where(col("_c").isNotNull || col("v") >= 0)
+      .select(col("v"))
+    val tot = srcTok.agg(sum(col("c_st")).as("n"))
     val p = (col("c_st") + lit(1.0)) / (col("n_s") + col("v"))
     val q = (col("c_t") + lit(1.0)) / (col("n") + col("v"))
     srcTok

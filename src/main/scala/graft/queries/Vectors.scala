@@ -1080,7 +1080,14 @@ object Vectors {
     val probed = assigned2
       .where(col("rn") <= 2 && col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("cell"))
-    probed
+    // probed is ≤ 20 rows BY CONSTRUCTION (vec_id < 10, rn ≤ 2) at every
+    // scale, but a checkpointed assignment table carries no useful size
+    // estimate, so the planner sort-merge-joined it — shuffling and
+    // sorting the corpus-sized inverted file by cell (r14 plan dump;
+    // ann_ivf_probe's parquet-backed twin already got the BHJ from
+    // stats). The explicit broadcast pins the scale-correct shape: the
+    // inverted file never shuffles, the probe relation ships.
+    broadcast(probed)
       .join(inverted, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("dot", dot(col("qemb"), col("embedding")))
@@ -1446,9 +1453,11 @@ object Vectors {
     val inv = scoredCells(emb, cells, params)
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("ec_dot"), (-col("cell")).as("nc"))).as("cell"))
-      // materialize the (vec_id, cell) assignment: topicsFromAssignment's
-      // token stream feeds FOUR aggregations (ctc/nc/ct/nt), and
-      // un-checkpointed each re-ran the routing chain (round-8 plan audit)
+      // materialize the (vec_id, cell) assignment — it IS the persisted
+      // IVF artifact the probe twin reads from parquet, and it keeps the
+      // routing chain out of topicsFromAssignment's plan (r14: the token
+      // stream now feeds ONE aggregation, ctc, but ctc's own eager
+      // materialization would otherwise re-run the routing inside its job)
       .localCheckpoint()
     topicsFromAssignment(spark, sf, inv)
   }
@@ -1475,15 +1484,39 @@ object Vectors {
   private def topicsFromAssignment(spark: SparkSession, sf: String, inv: DataFrame,
       topN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The explicit isNotNull pair is a data-level no-op (cell is a routed
+    // int, token survives `<> ''`) that mirrors the constraints the lift
+    // joins below infer into ONLY the main stream's copy of this subtree —
+    // without it the four consumers' exchanges no longer canonicalize
+    // equal and the tokenize Generate re-runs per consumer (the
+    // BENCH_NOTES §40/§42 reuse-trap class).
     val toks = inv
       .join(Tables.documents(spark, sf).select(col("doc_id"), TextOps.tokensCol.as("t")),
         col("doc_id") === col("vec_id"))
       .select(col("cell"), explode(col("t")).as("token"))
-      .where(col("token") =!= "")
+      .where(col("token") =!= "" && col("cell").isNotNull && col("token").isNotNull)
+    // ONE pass over the token stream: nc / ct / nt are exact integer
+    // re-aggregations of ctc (Σ c_tc over tokens per cell = the cell's
+    // token count, etc. — the same derive-from-the-finest-aggregate move
+    // bigram_lm_score's c1-from-c2 made in r11). The r8 form aggregated
+    // toks four times, and the plan ran the tokenize+explode Generate
+    // once per aggregate (4 full passes over the embedded corpus's token
+    // stream — r14 plan dump); the three derived aggregates instead
+    // re-shuffle the vocabulary-bounded (cell, token) table, and all four
+    // consumers read the ONE (cell, token)-keyed exchange (ReusedExchange
+    // ×3 in the plan).
+    // ctc is MATERIALIZED (localCheckpoint, the house pattern for bounded
+    // intermediate tables): its four consumers below cannot share the
+    // (cell, token) exchange through canonicalization because the inv
+    // side is a checkpointed RDD scan whose partitioning metadata carries
+    // branch-local expression ids (r14 plan dump: four byte-identical
+    // subtrees, zero ReusedExchange), so plan-level reuse is the fragile
+    // path here and the eager one-job materialization is the robust one.
     val ctc = toks.groupBy(col("cell"), col("token")).agg(count(lit(1)).as("c_tc"))
-    val nc = toks.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
-    val ct = toks.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
-    val nt = toks.agg(count(lit(1)).as("n_tot"))
+      .localCheckpoint()
+    val nc = ctc.groupBy(col("cell")).agg(sum(col("c_tc")).as("n_c"))
+    val ct = ctc.groupBy(col("token")).agg(sum(col("c_tc")).as("c_t"))
+    val nt = ctc.agg(sum(col("c_tc")).as("n_tot"))
     val lift = (col("c_tc").cast("double") * col("n_tot")) /
       (col("n_c").cast("double") * col("c_t"))
     ctc

@@ -73,4 +73,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"simhash bit-sum partial aggregate appears $bitSumPasses times — " +
         "the flag frame's two consumers stopped sharing the signature pass")
   }
+
+  test("cluster topics aggregates the token stream ONCE (nc/ct/nt derive from ctc)") {
+    // r14: the lift denominators are exact integer re-aggregations of the
+    // materialized (cell, token) count table; the registered plan must not
+    // contain any tokenize Generate at all (the one pass runs inside ctc's
+    // materialization). Four Generates here = the r8 four-aggregate shape
+    // crept back.
+    for (q <- Seq("cluster_topics", "cluster_topics_probe")) {
+      val gens = "Generate".r.findAllIn(plan(q)).size
+      assert(gens == 0,
+        s"$q plans $gens tokenize Generate passes — expected 0 (single " +
+          "materialized ctc pass; nc/ct/nt must derive from it)")
+    }
+  }
+
+  test("source_kl_drift plans ONE corpus explode (n_s/c_t/v/n derive from src_tok)") {
+    val p = plan("source_kl_drift")
+    val gens = "Generate".r.findAllIn(p).size
+    assert(gens == 1,
+      s"source_kl_drift plans $gens corpus explodes — expected 1 (the " +
+        "derived aggregates must read the shared (source, token) exchange; " +
+        "the vocab branch needs its first(c_t) anchor against pruning)")
+    assert("ReusedExchange".r.findAllIn(p).size >= 3,
+      "expected the corpus-token / source-total / total branches to read " +
+        "the src_tok exchange as ReusedExchange")
+  }
+
+  test("ann_ivf broadcasts the bounded probe side (no corpus-sized shuffle in the probe join)") {
+    // probed is <= 20 rows by construction (vec_id < 10, rn <= 2); the
+    // checkpointed assignment table carries no stats, so without the
+    // explicit broadcast the planner sort-merge-joins — shuffling the
+    // corpus-sized inverted file by cell.
+    val p = plan("ann_ivf")
+    assert(!p.contains("SortMergeJoin"),
+      "ann_ivf plans a SortMergeJoin — the probe side stopped broadcasting")
+    assert(p.contains("BroadcastHashJoin"),
+      "ann_ivf's probe join should be a BroadcastHashJoin")
+  }
 }
