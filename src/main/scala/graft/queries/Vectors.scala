@@ -1328,7 +1328,8 @@ object Vectors {
     // rows): semanticFromAssigned joins it to ITSELF (pair sides a and b),
     // and un-checkpointed the whole two-level routing chain executed twice
     // (round-8 plan audit: 16 shuffles -> 8)
-    semanticFromAssigned(assignTop2(emb, cells, params).localCheckpoint())
+    semanticFromAssigned(assignTop2(emb, cells, params).localCheckpoint(),
+      shuffleHash = true)
   }
 
   /** The persisted-quantizer regime of [[dedupSemantic]] (VERDICT r6 item
@@ -1349,14 +1350,25 @@ object Vectors {
     * shared tail of [[dedupSemantic]] (in-query training) and
     * [[dedupSemanticProbe]] (persisted index).
     */
-  private def semanticFromAssigned(assigned2: DataFrame): DataFrame = {
+  private def semanticFromAssigned(assigned2: DataFrame, shuffleHash: Boolean = false): DataFrame = {
     val member = assigned2
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
     val a = member.select(
       col("cell"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = member.select(
       col("cell"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    a.join(b, Seq("cell"))
+    // shuffleHash: the in-query regime's input is a checkpointed RDD with
+    // no size stats, so the planner falls back to SortMergeJoin — sorting
+    // BOTH corpus-sized pair sides by cell. Cell occupancy is bounded by
+    // the quantizer's occupancy targeting (k ∝ n/125), so per-partition
+    // hash relations are even and bounded — the shuffled-hash regime
+    // (guide §3.1). Tax-adjusted A/B at sf1, two pairs each way:
+    // SMJ 3.37/3.38 vs SHJ 3.05/2.98 (≈ −10%; BENCH_NOTES §49). The
+    // PROBE path keeps planner choice: its parquet input has stats, picks
+    // a broadcast at fixture scales (forcing the hint there read +12%),
+    // and a deployment's AQE can still demote SMJ→SHJ at runtime.
+    val bSide = if (shuffleHash) b.hint("shuffle_hash") else b
+    a.join(bSide, Seq("cell"))
       .where(col("vec_a") < col("vec_b"))
       .where(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) >= 0.4)
       // a pair sharing both probe cells appears twice — countDistinct, not

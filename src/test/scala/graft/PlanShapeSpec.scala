@@ -111,4 +111,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "ann_ivf's probe join should be a BroadcastHashJoin")
   }
+
+  test("dedup_semantic's pair join is a shuffled hash join (checkpointed regime)") {
+    // the checkpointed assignment carries no stats, so without the hint
+    // the planner sort-merge-joins — sorting both corpus-sized pair sides
+    // by cell; occupancy targeting bounds per-partition hash relations,
+    // the shuffled-hash regime (BENCH_NOTES §49: −10% tax-adjusted at
+    // sf1, two pairs each way). The probe twin keeps planner choice.
+    val p = plan("dedup_semantic")
+    assert(p.contains("ShuffledHashJoin"),
+      "dedup_semantic's pair join should be a ShuffledHashJoin")
+    assert(!p.contains("SortMergeJoin"),
+      "dedup_semantic plans a SortMergeJoin — the shuffle_hash hint is gone")
+  }
 }
