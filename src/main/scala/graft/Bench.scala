@@ -57,6 +57,9 @@ object Bench {
       // have nothing to improve at this size. A cluster deployment keeps
       // it on — this is harness latency tuning, recorded in the artifact.
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // shuffle/spill codec A/B knob (guide §2.3) — default is Spark's own
+      // default (lz4); zstd measured at sf3 in BENCH_NOTES §52
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       // local-harness opt-in: test tables are single-row-group files, so
       // heavy-compute queries repartition them across cores (queries.Det)
       .config(graft.queries.Det.SpreadConf, sys.env.getOrElse("SPARK_GRAFT_SPREAD", "true"))
