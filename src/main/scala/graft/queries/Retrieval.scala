@@ -54,12 +54,19 @@ object Retrieval {
 
   /** Library entry point: caller-chosen probe terms and result size. */
   def bm25Topk(spark: SparkSession, sf: String, terms: Seq[String], k: Int): DataFrame = {
+    // isNotNull seeds: data-level no-ops that mirror the constraints the
+    // scoring joins infer into only their copies of the dl / tf subtrees —
+    // without them the subtrees stop canonicalizing equal and each
+    // derived aggregate re-runs its own corpus explode (r14 GenScan: 4
+    // Generates for the 2 fundamental passes; BENCH_NOTES §53).
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"), explode(TextOps.tokensCol).as("token"))
-      .where(col("token") =!= "")
+      .where(col("token") =!= "" && col("doc_id").isNotNull && col("token").isNotNull)
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     // n_docs counts docs with ≥1 token (= dl's row count) so both engines
     // derive N from the same relation; avgdl = exact integer sum / count.
+    // Reads dl's exchange (ReusedExchange) — nothing prunable here: both
+    // aggregates reference dl's count, so the partial shapes stay equal.
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -67,7 +74,14 @@ object Retrieval {
       .where(col("token").isin(terms: _*))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // The `_t` first() is the §42(b) pruning anchor: a bare row count per
+    // token lets pruning drop tf's count from this branch's copy of the
+    // aggregate, and the narrowed exchange no longer canonicalizes with
+    // the scoring stream's — re-running the filtered explode just for df.
+    val dfreq = tf
+      .groupBy(col("token")).agg(count(lit(1)).as("df"), first(col("tf")).as("_t"))
+      .where(col("_t").isNotNull || col("df") >= 0)
+      .select(col("token"), col("df"))
     val idf = round(
       log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 8)
     val tfFactor = (col("tf") * lit(2.2)) /

@@ -149,9 +149,13 @@ object TextOps {
     */
   def tfidfTopTerms(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(spark, sf)
+    // isNotNull seeds (data no-ops): mirror the constraints the scoring
+    // join infers into only ITS copy of the tf subtree, so both consumers
+    // canonicalize equal and the tokenize explode is planned once
+    // (r14 GenScan found it planned twice; BENCH_NOTES §53).
     val tf = docs
       .select(col("doc_id"), explode(tokensCol).as("token"))
-      .where(col("token") =!= "")
+      .where(col("token") =!= "" && col("doc_id").isNotNull && col("token").isNotNull)
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     // Document frequency via groupBy + join-back, NOT a window over the tf
@@ -159,8 +163,13 @@ object TextOps {
     // (doc, token) row for a hot token ("the") lands on ONE reducer. The
     // groupBy gets map-side partial aggregation (bounded per-key state on
     // every node), and the join-back's skew is an AQE-splittable stream
-    // side — the 100 TB-safe shape.
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // side — the 100 TB-safe shape. The `_t` first() is the §42(b)
+    // pruning anchor: without it this branch's copy of tf drops the tf
+    // count, its exchange narrows, and the explode re-runs just for df.
+    val dfreq = tf
+      .groupBy(col("token")).agg(count(lit(1)).as("df"), first(col("tf")).as("_t"))
+      .where(col("_t").isNotNull || col("df") >= 0)
+      .select(col("token"), col("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(dfreq, Seq("token"))

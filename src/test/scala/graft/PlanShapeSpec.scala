@@ -124,4 +124,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "dedup_semantic plans a SortMergeJoin — the shuffle_hash hint is gone")
   }
+
+  test("bm25 and tfidf plan only their fundamental corpus explodes") {
+    // bm25 needs two passes (dl over all tokens, tf over the filtered
+    // probe terms); tfidf needs one. More means a derived aggregate
+    // (stats/dfreq) stopped reusing its base subtree — the seed/anchor
+    // defenses regressed (BENCH_NOTES §53).
+    val bm = "Generate".r.findAllIn(plan("bm25_topk")).size
+    assert(bm == 2, s"bm25_topk plans $bm corpus explodes — expected 2")
+    val tf = "Generate".r.findAllIn(plan("tfidf_top_terms")).size
+    assert(tf == 1, s"tfidf_top_terms plans $tf corpus explodes — expected 1")
+  }
 }
