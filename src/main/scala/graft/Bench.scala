@@ -24,22 +24,80 @@ object Bench {
 
   /** The BASELINE.md 10-query suite — the per-query set the judge compares
     * against DuckDB (docs/BENCH_NOTES.md floor table rows). */
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q1_pricing_summary", "q3_join_topk", "q5_multijoin", "window_rank",
     "distinct_users_daily", "sessionize", "json_extract_agg",
     "dedup_docs_exact", "knn_brute_force", "setop_except")
+
+  /** Additional rows in the PRINTED per-query map (round 15, VERDICT r14
+    * item 2): the headline 10 are all long-settled sub-second queries, so
+    * the driver's round-over-round PERF table could not see where the
+    * optimization rounds' work landed (r14's 12 rewritten plans were all
+    * invisible to it). These are the suite's heaviest rows — additions
+    * only; the 10 headline entries and `baseline10_total` are unchanged,
+    * and BenchLineSpec pins the worst-case line inside the driver's
+    * 2000-char tail capture. */
+  private[graft] val printedExtras = Seq(
+    "dedup_overlap_report", "dedup_semantic", "cluster_topics", "ann_ivf",
+    "dedup_clusters_stars", "dedup_exact_substring_capped")
+
+  /** Input bytes of the scale-factor directory (recursive over the table
+    * files/dirs) — the signal the shuffle-partition default derives from. */
+  private def inputBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
+      else f.length()
+    val d = new java.io.File(dir)
+    if (d.exists()) walk(d) else 0L
+  }
+
+  /** Scale-adaptive shuffle-partition default (round 15, VERDICT r14 item
+    * 1; guide §2.2 "derive partitioning from input size, not a constant"):
+    * one partition per 32 MB of compressed parquet input, clamped to
+    * [8, cpus]. The 32 MB knee is MEASURED, tax-matched both ways
+    * (BENCH_NOTES §55): at sf0.1 (17 MB → 8) shuffle=32 read +19–40% on
+    * the shuffle-heavy rows (32 reducer tasks on ≤ 600 k-row stages is
+    * scheduling overhead — re-confirming the r8 matrix); at sf1 (161 MB →
+    * 8) shuffle=32 regressed cluster_topics +68% / dedup_semantic +35% /
+    * tfidf +58% (their walls are k-row training-chain stages) and helped
+    * only dedup_ngram_jaccard (−17%); at sf3 (495 MB → 16) shuffle=16 won
+    * net (ngram_jaccard −26%, cluster_topics −16%, dedup_semantic −8%,
+    * overlap report +5%, rest flat). A static per-session count cannot fit
+    * both a corpus-sized token shuffle and a k-row training stage — the
+    * production mechanism is AQE coalescing per stage (kept OFF locally:
+    * measured r8, re-measured r15 — AQE's replan roundtrips also break
+    * this library's ReuseExchange shapes, dedup_overlap_report 15.3 →
+    * 51.1 s at sf1). SPARK_GRAFT_SHUFFLE still overrides; the sf0.1
+    * default is unchanged vs r14, so the driver's bench stays comparable.
+    */
+  private[graft] def shuffleDefault(cpus: Int, bytes: Long): Int =
+    math.max(8L, math.min(cpus.toLong, (bytes + (32L << 20) - 1) / (32L << 20))).toInt
+
+  private[graft] def qJson(m: Seq[(String, Double)]): String =
+    m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** The ONE-LINE contract artifact (driver tail capture is 2000 chars
+    * including sbt's trailer — BenchLineSpec pins the worst-case length).
+    * Exactly the fields every BENCH_r*.json has carried since round 4,
+    * plus the round-15 latency-canary pair inside canaryJson.
+    */
+  private[graft] def shortLine(total: Double, head: Seq[(String, Double)],
+      headKey: String, headTotal: Double, nQueries: Int, errJson: String,
+      sfDir: String, iters: Int, retries: Int, inflJson: String,
+      inflAdjJson: String, canaryJson: String, cached: Boolean,
+      action: String, confJson: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"$headKey":$headTotal,"n_queries":$nQueries,"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"inflated_adj":$inflAdjJson,$canaryJson,"cached":$cached,"action":"$action",$confJson}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val cpusN = scala.util.Try(cpus.toInt).getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // 8 shuffle partitions (round-8 matrix A/B): at sf0.1 every
-      // post-shuffle stage holds ≤ 600 k rows, so 32 reducer tasks are
-      // pure scheduling overhead. Applies to the local bench only — the
-      // library sets nothing; a cluster session sizes this to its data.
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      // data-adaptive default, env-overridable — see shuffleDefault above
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", shuffleDefault(cpusN, inputBytes(sfDir)).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(Tables.EventsNanosConf, "true")
@@ -265,23 +323,44 @@ object Bench {
     // a quote or backslash must not corrupt the one-line artifact.
     val floorsFileJson = floorsFile.fold("null")(f =>
       "\"" + f.getPath.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    val canaryJson = s""""canary":"$CanaryQuery","canary_s":${canaryS.getOrElse(-1)},"canary_src":"$canarySrc","window_tax":${windowTax.getOrElse(-1)},"floors_file":$floorsFileJson"""
+    // Latency canary (round 15, VERDICT r14 item 5): the knn-based
+    // window_tax measures COMPUTE-window health, but BENCH_NOTES §51 found
+    // a window mode where sub-second rows ran ~2× while compute rows were
+    // healthy (r14's two spurious inflated_adj entries). q1 is the
+    // BASELINE.md headline row with the most stable sub-second floor, so
+    // its floor ratio is the short-row tax. Suite-timed only (q1 is always
+    // in a full run; a dev subset without it reports latency_src "none").
+    val LatencyCanary = "q1_pricing_summary"
+    val latencyS: Option[Double] = timed.get(LatencyCanary)
+    val latencyFloor: Option[Double] = floors.get(LatencyCanary)
+      .orElse(floorsFile.flatMap(f => readFloors(f).get(LatencyCanary)))
+      .orElse(perSfFloorsFile.flatMap(f => readFloors(f).get(LatencyCanary)))
+    val latencyTax: Option[Double] =
+      for (c <- latencyS; f <- latencyFloor if f > 0) yield round3(c / f)
+    val canaryJson = s""""canary":"$CanaryQuery","canary_s":${canaryS.getOrElse(-1)},"canary_src":"$canarySrc","window_tax":${windowTax.getOrElse(-1)},"latency_canary":"$LatencyCanary","latency_tax":${latencyTax.getOrElse(-1)},"floors_file":$floorsFileJson"""
     // Tax-aware inflated list (VERDICT r12 item 6): a taxed window inflates
     // EVERY row by ~window_tax, so the raw floor comparison flags dozens of
     // innocents (21 in BENCH_r12). `inflated` stays the raw read;
     // `inflated_adj` divides each row's time by the measured tax first, so
     // on a taxed-but-unchanged tree it reads near-empty while a genuinely
-    // slowed query (regression ≫ tax) still trips both lists.
+    // slowed query (regression ≫ tax) still trips both lists. Per-row tax
+    // (round 15): short rows (floor < 0.3 s — overhead-bound) divide by the
+    // LATENCY tax, compute rows by the knn window tax, so each row is
+    // judged against the canary that shares its bottleneck. Either canary
+    // regressing itself would mask only its own class in inflated_adj —
+    // the raw `inflated` list still catches everything.
     val taxDivisor: Double = windowTax.filter(_ > 1.0).getOrElse(1.0)
+    val latencyDivisor: Double = latencyTax.filter(_ > 1.0).getOrElse(taxDivisor)
+    val LatencyRowFloorCutoff = 0.3
+    def rowDivisor(floor: Double): Double =
+      if (floor < LatencyRowFloorCutoff) latencyDivisor else taxDivisor
     val inflated = results.collect {
       case (name, (Some(t), _)) if floors.get(name).exists(f => t > AcceptWithin * f) => name
     }.toSeq.sorted
     val inflatedAdj = results.collect {
       case (name, (Some(t), _))
-        if floors.get(name).exists(f => t / taxDivisor > AcceptWithin * f) => name
+        if floors.get(name).exists(f => t / rowDivisor(f) > AcceptWithin * f) => name
     }.toSeq.sorted
-    def qJson(m: Seq[(String, Double)]) =
-      m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errs.toSeq.sortBy(_._1)
       .map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
@@ -289,9 +368,16 @@ object Bench {
     // A dev-only SPARK_GRAFT_ONLY run prints every timed query (the subset
     // is small by construction and the full bench_out.json is NOT written
     // for filtered runs — without this, non-headline per-query timings of
-    // a probe run would be recorded nowhere).
-    val head = only.fold(headline.flatMap(k => timed.get(k).map(k -> _)))(_ => timed.toSeq)
-    val headTotal = round3(head.map(_._2).sum)
+    // a probe run would be recorded nowhere). Full runs print the headline
+    // 10 PLUS the heaviest suite rows (printedExtras — additions only, so
+    // round-over-round PERF comparison holds).
+    val head = only.fold(
+      (headline ++ printedExtras).flatMap(k => timed.get(k).map(k -> _)))(_ => timed.toSeq)
+    // the contract metric stays the HEADLINE-10 sum — printedExtras must
+    // never leak into baseline10_total (subset runs keep their subset sum
+    // under the distinct `subset_total` key as before)
+    val headTotal = round3(
+      only.fold(headline.flatMap(timed.get).sum)(_ => timed.values.sum))
     // The BASELINE.json contract metric name is reserved for the real
     // 10-query headline sum: a FILTERED run reports its subset sum under
     // `subset_total` instead, so no consumer can mistake a dev probe's
@@ -311,8 +397,9 @@ object Bench {
       val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       s""""aqe":$aqe,"shuffle":$sh,"broadcast":"$bc""""
     }
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(head)},"$headKey":$headTotal,"n_queries":${timed.size},"full":"bench_out.json","errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"inflated_adj":$inflAdjJson,$canaryJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
+    val line = shortLine(total, head, headKey, headTotal, timed.size, errJson,
+      sfDir, iters, retries, inflJson, inflAdjJson, canaryJson, cacheTables,
+      benchAction.toString, confJson)
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(timed.toSeq)},"baseline10_total":$headTotal,"errors":$errJson,"sf":"$sfDir","iters":$iters,"rescue":1,"retries":$retries,"inflated":$inflJson,"inflated_adj":$inflAdjJson,$canaryJson,"cached":$cacheTables,"action":"$benchAction",$confJson}"""
     if (only.isEmpty) try {
