@@ -193,22 +193,26 @@ object DocEmbed {
     // splits the plan into TWO featurizer subtrees, re-running the
     // Generate+md5 pass per branch): (1) the no-op isNotNull mirrors the
     // constraint the self-join's `a_id < b_id` infers into the streamed
-    // branch's scan, (2) the first(...)s stop column pruning from
-    // narrowing the count branch's exchange to {bkt} — first() over
-    // ≤ 65536 post-combine groups is noise next to a second featurizer.
+    // branch's scan, (2) the bucket count REFERENCES doc_id/norm/v inside
+    // its when(), which stops column pruning from narrowing this branch's
+    // exchange to {bkt}.
     val shared = vecs.where(col("doc_id").isNotNull)
-    // The `_d/_n/_v` firsts must survive into the filter — Catalyst prunes
-    // unreferenced aggregates, and a pruned count branch narrows its
-    // exchange to {bkt}, splitting the plan back into two featurizer
-    // subtrees. The disjunct is vacuously true (first() over a non-empty
-    // group of non-null doc_ids), but the optimizer cannot prove that, so
-    // all columns stay referenced and the branch reads the ReusedExchange.
+    // count(when(norm ≥ 0 AND size(v) ≥ 0, doc_id)), not count(1): the
+    // §42(b) pruning defense, round-15 form (the bm25/tfidf/kl rationale
+    // in Retrieval.bm25Topk's dfreq). Catalyst prunes unreferenced
+    // aggregate expressions, and a bare count narrows this branch's copy
+    // of the featurizer to {bkt}, splitting the plan back into two
+    // featurizer subtrees. The when() keeps all three payload columns
+    // referenced while the count IS the bn output, so nothing can prune
+    // it; bit-identical to count(*): norm > 0 is filtered upstream, v is
+    // a 16-element array literal (size ≥ 0 always), doc_id is non-null
+    // (seeded above). Replaces the r14 three-first()+vacuous-disjunct
+    // anchor (ADVICE r14 item 3): no per-group first() buffers, no filter
+    // for an upgrade to constant-fold away.
     val smallBuckets = shared
-      .groupBy(col("bkt")).agg(count(lit(1)).as("bn"),
-        first(col("doc_id")).as("_d"), first(col("norm")).as("_n"),
-        first(col("v")).as("_v"))
-      .where(col("bn") <= EmbedBucketCap &&
-        (col("_d").isNotNull || col("_n").isNotNull || size(col("_v")) >= 0))
+      .groupBy(col("bkt"))
+      .agg(count(when(col("norm") >= 0 && size(col("v")) >= 0, col("doc_id"))).as("bn"))
+      .where(col("bn") <= EmbedBucketCap)
       .select(col("bkt"))
     val sized = shared.join(broadcast(smallBuckets), Seq("bkt"))
     val a = sized.select(col("doc_id").as("a_id"), col("norm").as("a_norm"),

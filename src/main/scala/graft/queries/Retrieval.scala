@@ -74,14 +74,22 @@ object Retrieval {
       .where(col("token").isin(terms: _*))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    // The `_t` first() is the §42(b) pruning anchor: a bare row count per
-    // token lets pruning drop tf's count from this branch's copy of the
-    // aggregate, and the narrowed exchange no longer canonicalizes with
-    // the scoring stream's — re-running the filtered explode just for df.
+    // count(when(tf ≥ 1, tf)), not count(1): the §42(b) pruning defense,
+    // round-15 form. A bare row count per token lets column pruning drop
+    // tf's count from this branch's copy of the aggregate, and the
+    // narrowed exchange no longer canonicalizes with the scoring stream's
+    // — re-running the filtered explode just for df. The when() keeps tf
+    // REFERENCED so the subtree stays full-width (bit-identical: tf =
+    // count(1) ≥ 1 always, so the branch never yields null and the count
+    // equals count(*)); a bare count(tf) does NOT work — tf's attribute
+    // is non-nullable, so Catalyst rewrites count(tf) to count(1) and the
+    // reference vanishes (measured: 2 → 3 Generates). This replaces the
+    // r14 first()+vacuous-disjunct anchor (ADVICE r14 item 3): no extra
+    // aggregate state, no filter for an upgrade to constant-fold away,
+    // and the count IS the df output, so it can never be pruned.
     val dfreq = tf
-      .groupBy(col("token")).agg(count(lit(1)).as("df"), first(col("tf")).as("_t"))
-      .where(col("_t").isNotNull || col("df") >= 0)
-      .select(col("token"), col("df"))
+      .groupBy(col("token"))
+      .agg(count(when(col("tf") >= 1, col("tf"))).as("df"))
     val idf = round(
       log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 8)
     val tfFactor = (col("tf") * lit(2.2)) /
@@ -158,18 +166,16 @@ object Retrieval {
     val srcTok = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
     val srcTot = srcTok.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
     val corpusTok = srcTok.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
-    // The `_c` first() must survive into the filter (the DocEmbed §42
-    // anchor): a bare count over corpusTok lets column pruning drop c_t,
-    // collapse the aggregate to distinct tokens, and prune `source` out of
-    // the scan — that branch then no longer canonicalizes with the shared
-    // srcTok exchange and re-runs the whole corpus explode (r14 plan dump:
-    // a second Generate pass for vocab alone). The disjunct is vacuously
-    // true but unprovable, so c_t stays referenced and the vocab branch
-    // reads the ReusedExchange like every other consumer.
-    val vocab = corpusTok
-      .agg(count(lit(1)).as("v"), first(col("c_t")).as("_c"))
-      .where(col("_c").isNotNull || col("v") >= 0)
-      .select(col("v"))
+    // count(c_t), not count(1): the §42(b) pruning defense, round-15 form
+    // (same as bm25's dfreq). A bare count over corpusTok lets column
+    // pruning drop c_t, collapse the aggregate to distinct tokens, and
+    // prune `source` out of the scan — that branch then no longer
+    // canonicalizes with the shared srcTok exchange and re-runs the whole
+    // corpus explode (r14 plan dump: a second Generate pass for vocab
+    // alone). Referencing c_t inside the count keeps the subtree
+    // full-width (bit-identical: c_t = SUM of ≥1 non-null longs is never
+    // null), replacing the r14 first()+vacuous-disjunct anchor.
+    val vocab = corpusTok.agg(count(col("c_t")).as("v"))
     val tot = srcTok.agg(sum(col("c_st")).as("n"))
     val p = (col("c_st") + lit(1.0)) / (col("n_s") + col("v"))
     val q = (col("c_t") + lit(1.0)) / (col("n") + col("v"))

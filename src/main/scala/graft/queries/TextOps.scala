@@ -163,13 +163,17 @@ object TextOps {
     // (doc, token) row for a hot token ("the") lands on ONE reducer. The
     // groupBy gets map-side partial aggregation (bounded per-key state on
     // every node), and the join-back's skew is an AQE-splittable stream
-    // side — the 100 TB-safe shape. The `_t` first() is the §42(b)
-    // pruning anchor: without it this branch's copy of tf drops the tf
-    // count, its exchange narrows, and the explode re-runs just for df.
+    // side — the 100 TB-safe shape. count(when(tf ≥ 1, tf)), not
+    // count(1), is the §42(b) pruning defense (round-15 form — see
+    // Retrieval.bm25Topk's dfreq for the full rationale; bit-identical:
+    // tf ≥ 1 always, and a bare count(tf) gets rewritten to count(1)
+    // because tf is non-nullable, losing the reference): without the tf
+    // reference this branch's copy of tf drops the tf count, its exchange
+    // narrows, and the explode re-runs just for df. Replaces the r14
+    // first()+vacuous-disjunct anchor.
     val dfreq = tf
-      .groupBy(col("token")).agg(count(lit(1)).as("df"), first(col("tf")).as("_t"))
-      .where(col("_t").isNotNull || col("df") >= 0)
-      .select(col("token"), col("df"))
+      .groupBy(col("token"))
+      .agg(count(when(col("tf") >= 1, col("tf"))).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(dfreq, Seq("token"))
