@@ -116,7 +116,13 @@ object Tables {
       val b = bytes(new java.io.File(path(sfDir, name)))
       val n = math.max(1L, math.min(
         spark.sparkContext.defaultParallelism.toLong, b / (256L * 1024) + 1)).toInt
-      df.repartition(n)
+      // n == 1 is a pass-through, not a repartition(1) (r15): a
+      // single-partition round-robin exchange adds no parallelism, costs
+      // an exchange, and — measured at sf0.01 — defeats ReuseExchange
+      // across the multi-consumer token-stream subtrees (bm25 planned 4
+      // explodes for 2, kl 5 for 1 at that scale, old and new code alike;
+      // at sf0.1+ every spread table has n ≥ 2 and plans are unchanged).
+      if (n <= 1) df else df.repartition(n)
     }
   }
 

@@ -52,7 +52,14 @@ object Retrieval {
   def bm25Topk(spark: SparkSession, sf: String): DataFrame =
     bm25Topk(spark, sf, Bm25Terms, 20)
 
-  /** Library entry point: caller-chosen probe terms and result size. */
+  /** Library entry point: caller-chosen probe terms and result size.
+    *
+    * Precondition (part of the contract, ADVICE r14 item 1): rows with a
+    * NULL doc_id are dropped by the explicit seed filter below. The seed
+    * exists for exchange-reuse alignment and is a no-op on any corpus
+    * whose doc_id is a key (the fixture's is); a caller whose data can
+    * carry null doc_ids must assign surrogate ids first.
+    */
   def bm25Topk(spark: SparkSession, sf: String, terms: Seq[String], k: Int): DataFrame = {
     // isNotNull seeds: data-level no-ops that mirror the constraints the
     // scoring joins infer into only their copies of the dl / tf subtrees —
@@ -147,6 +154,12 @@ object Retrieval {
     * Shape: three token-keyed groupBys (all map-side combined) + two 1-row
     * aggregates broadcast onto a |vocab_s|-sized stream per source. Linear
     * in tokens, output = one row per source.
+    *
+    * Precondition (ADVICE r14 item 1): rows with a NULL source are
+    * dropped by the explicit seed filter below (exchange-reuse
+    * alignment). A no-op on the fixture (source is never null); a caller
+    * whose corpus can carry null sources must coalesce them to a
+    * sentinel first.
     */
   def sourceKlDrift(spark: SparkSession, sf: String): DataFrame = {
     // isNotNull seeds are data-level no-ops (token survives `<> ''`, the

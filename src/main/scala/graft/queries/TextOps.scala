@@ -146,6 +146,10 @@ object TextOps {
     * document frequency and a rational idf score (tf·N/df — exact double
     * arithmetic; ln() is libm-dependent across engines so the oracle uses
     * the rational form; the ln variant is ScalaTest-covered).
+    *
+    * Precondition (ADVICE r14 item 1): rows with a NULL doc_id are
+    * dropped by the explicit seed filter below (exchange-reuse
+    * alignment; a no-op when doc_id is a key, as in the fixture).
     */
   def tfidfTopTerms(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(spark, sf)

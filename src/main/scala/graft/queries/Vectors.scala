@@ -1367,7 +1367,18 @@ object Vectors {
     // PROBE path keeps planner choice: its parquet input has stats, picks
     // a broadcast at fixture scales (forcing the hint there read +12%),
     // and a deployment's AQE can still demote SMJ→SHJ at runtime.
-    val bSide = if (shuffleHash) b.hint("shuffle_hash") else b
+    //
+    // LOCAL-HARNESS GATED (r15, ADVICE r14 item 2): the bounded-occupancy
+    // argument assumes the quantizer keeps cells even; on real data a
+    // pathologically hot cell makes the SHJ build side a whole partition
+    // of a skewed table — the OOM regime where SMJ degrades gracefully —
+    // and an explicit hint also overrides AQE's runtime choice. The hint
+    // therefore applies only under Det.SpreadConf (set by the local
+    // bench/profile/test harness mains, never by library callers), so a
+    // cluster deployment keeps planner + AQE choice on this join.
+    val localHarness = assigned2.sparkSession.conf
+      .getOption(Det.SpreadConf).exists(_.toBoolean)
+    val bSide = if (shuffleHash && localHarness) b.hint("shuffle_hash") else b
     a.join(bSide, Seq("cell"))
       .where(col("vec_a") < col("vec_b"))
       .where(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) >= 0.4)

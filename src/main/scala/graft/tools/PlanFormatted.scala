@@ -5,9 +5,16 @@ import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
 /** Writes `explain("formatted")` output for the named queries to
-  * `<outDir>/<query>_<suffix>.txt`, one file per query, under the SAME
-  * session configuration Bench uses (shuffle partitions / broadcast
-  * threshold / AQE off) so the dumped plans are the benched plans.
+  * `<outDir>/<query>_<suffix>.txt`, one file per query, under the same
+  * session CONFIGURATION Bench uses (shuffle partitions / broadcast
+  * threshold / AQE off). Two deliberate differences from the benched
+  * operator tree (ADVICE r14 item 4): Bench additionally warm-caches the
+  * input tables, so its plans scan InMemoryRelation where these dumps
+  * scan parquet — kept this way ON PURPOSE, because the dumps are the
+  * evidence record for PushedFilters/ReadSchema claims, which an
+  * InMemoryTableScan would hide — and Bench's shuffle-partition default
+  * is data-derived while this tool pins the env default. Close to, not
+  * literally, the benched plans.
   *
   * Usage: runMain graft.tools.PlanFormatted <sfDir> <outDir> <suffix> q1 q2 ...
   */

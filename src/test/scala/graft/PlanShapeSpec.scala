@@ -24,6 +24,11 @@ class PlanShapeSpec extends AnyFunSuite {
   private lazy val staticSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    // the bench posture (Det.SpreadConf is set by every harness main):
+    // these pins assert the BENCHED plan shapes, and the dedup_semantic
+    // shuffle-hash hint is gated on this conf (cluster deployments keep
+    // planner/AQE choice there — ADVICE r14 item 2)
+    s.conf.set(graft.queries.Det.SpreadConf, "true")
     s
   }
 
@@ -94,7 +99,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(gens == 1,
       s"source_kl_drift plans $gens corpus explodes — expected 1 (the " +
         "derived aggregates must read the shared (source, token) exchange; " +
-        "the vocab branch needs its first(c_t) anchor against pruning)")
+        "the vocab branch needs its count(c_t) reference against pruning)")
     assert("ReusedExchange".r.findAllIn(p).size >= 3,
       "expected the corpus-token / source-total / total branches to read " +
         "the src_tok exchange as ReusedExchange")
