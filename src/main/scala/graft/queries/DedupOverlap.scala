@@ -149,28 +149,58 @@ object DedupOverlap {
   private[graft] val MethodNames =
     Seq("embedding", "exact", "jaccard", "line", "minhash", "simhash", "substring")
 
-  def dedupOverlapReport(spark: SparkSession, sf: String): DataFrame = {
-    // doc_id-keyed exchange barrier on the union: the flag frame feeds
-    // THREE consumers (both sides of the overlap self-join + the loners
-    // aggregate), and without it every consumer re-ran all six screens
-    // (r12 sweep: the 39505→5885 union subtree executed twice at 2.2 s
-    // CPU each). The self-join needs doc_id clustering anyway; the other
-    // consumers read the ReusedExchange.
-    // The explicit isNotNull is a no-op on the data (every flag frame
-    // emits non-null doc_ids by construction) but load-bearing for the
-    // barrier: the overlap SELF-JOIN infers isnotnull(doc_id) and pushes
-    // it INTO its copy of the union, while the loners aggregate infers
-    // nothing — without this filter the two consumers' union subtrees
-    // canonicalize differently, ReuseExchange cannot fire, and the whole
-    // 7-screen union's post-exchange map work executes twice (r13 sweep:
-    // two identical srR=7261/swR=6074 stages at ~1.1 s CPU each). With
-    // it, every consumer carries the same pushed filter and reads ONE
-    // exchange.
-    val flags = flaggedSets(spark, sf)
+  /** The seven screens' (method, doc_id) union behind its doc_id-keyed
+    * exchange barrier — the expensive subtree of the report, exposed so
+    * PlanShapeSpec can keep pinning ITS shape (signature pass planned
+    * once, no signature-keyed window) now that the registered plan roots
+    * at the checkpointed scan below.
+    *
+    * doc_id-keyed exchange barrier on the union: the flag frame feeds
+    * THREE consumers (both sides of the overlap self-join + the loners
+    * aggregate), and without it every consumer re-ran all six screens
+    * (r12 sweep: the 39505→5885 union subtree executed twice at 2.2 s
+    * CPU each). The self-join needs doc_id clustering anyway; the other
+    * consumers read the ReusedExchange.
+    * The explicit isNotNull is a no-op on the data (every flag frame
+    * emits non-null doc_ids by construction) but load-bearing for the
+    * barrier: the overlap SELF-JOIN infers isnotnull(doc_id) and pushes
+    * it INTO its copy of the union, while the loners aggregate infers
+    * nothing — without this filter the two consumers' union subtrees
+    * canonicalize differently, ReuseExchange cannot fire, and the whole
+    * 7-screen union's post-exchange map work executes twice (r13 sweep:
+    * two identical srR=7261/swR=6074 stages at ~1.1 s CPU each). With
+    * it, every consumer carries the same pushed filter and reads ONE
+    * exchange.
+    */
+  private[graft] def flagUnion(spark: SparkSession, sf: String): DataFrame =
+    flaggedSets(spark, sf)
       .map { case (m, df) => df.select(lit(m).as("method"), col("doc_id")) }
       .reduce(_.unionByName(_))
       .where(col("doc_id").isNotNull)
       .repartition(col("doc_id"))
+
+  def dedupOverlapReport(spark: SparkSession, sf: String): DataFrame = {
+    // The flag union is MATERIALIZED (round 15; guide §3.3 "very wide
+    // unions/joins of many inputs produce enormous plans … materialising
+    // an intermediate truncates the plan", §7.3 driver planning): with the
+    // union inlined, the registered plan held THREE
+    // DeduplicateRelations-cloned copies of the whole 7-screen subtree
+    // (both self-join sides + the loners aggregate), and Catalyst walked
+    // all three every rule — PlanCost measured 2.2–2.9 s of pure DRIVER
+    // PLANNING per execution, ~35–45 % of the benched row (the rule dump's
+    // top entries — DeduplicateRelations / PruneFilters / ColumnPruning /
+    // RemoveRedundantAliases — all scale with tree size, and ReuseExchange
+    // already deduplicated the EXECUTION, so the extra copies bought
+    // nothing). The checkpoint truncates the lineage at the union's
+    // exchange barrier, so the join + aggregates plan over a
+    // flag-set-sized scan instead. State is duplicate-set-sized
+    // ((method, doc_id) per flagged doc — 5885 rows at sf0.1, ≪ corpus),
+    // the same bounded-intermediate localCheckpoint posture as the
+    // k-means chains; the screens' stages still run concurrently inside
+    // the one checkpoint job (StageTimeline evidence in plans/r15/).
+    // This is NOT the r12-rejected corpus-token-frame checkpoint: that
+    // one materialized a corpus-sized stream; flags are output-sized.
+    val flags = flagUnion(spark, sf).localCheckpoint()
     val overlap = flags.select(col("method").as("method_a"), col("doc_id"))
       .join(flags.select(col("method").as("method_b"), col("doc_id")), Seq("doc_id"))
       .where(col("method_a") <= col("method_b"))

@@ -45,13 +45,25 @@ class PlanShapeSpec extends AnyFunSuite {
         .map(_.trim.takeWhile(_ != '#')).filter(_.nonEmpty))
       .toSeq
 
+  /** The report's 7-screen union plan (round 15: the registered query
+    * roots at a localCheckpoint of this frame, so the screens' shapes must
+    * be pinned on the union builder itself). */
+  private def overlapUnionPlan: String =
+    graft.queries.DedupOverlap.flagUnion(staticSession, Sf001)
+      .queryExecution.executedPlan.toString()
+
   test("no WindowExec keyed on a bounded signature (simhash / LSH bkt) anywhere in the registry") {
     // The full-registry sweep lives in tools/PlanAudit (per-round); this
     // pins the three queries the r14 rewrite touched plus the registered
-    // simhash query itself, where a regression would land first.
-    for (q <- Seq("dedup_overlap_report", "dedup_embedding_doc_lsh",
-                  "dedup_embedding_doc_probe", "dedup_simhash")) {
-      val keys = windowKeys(plan(q))
+    // simhash query itself, where a regression would land first. The
+    // report's screens live in its flag-union builder since r15.
+    val plans = Seq(
+      "dedup_overlap_report flag union" -> overlapUnionPlan,
+      "dedup_embedding_doc_lsh" -> plan("dedup_embedding_doc_lsh"),
+      "dedup_embedding_doc_probe" -> plan("dedup_embedding_doc_probe"),
+      "dedup_simhash" -> plan("dedup_simhash"))
+    for ((q, p) <- plans) {
+      val keys = windowKeys(p)
       assert(!keys.exists(k => k == "simhash" || k == "bkt"),
         s"$q plans a window partitioned on a bounded signature key: $keys")
     }
@@ -67,7 +79,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("overlap report plans the simhash bit-sum pass ONCE") {
-    val p = plan("dedup_overlap_report")
+    val p = overlapUnionPlan
     // the per-doc signature merge is the expensive subtree; the partial
     // bit-sum aggregate appearing twice means the MIN agg branch and the
     // probe branch each planned their own signature pass
@@ -77,6 +89,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bitSumPasses == 1,
       s"simhash bit-sum partial aggregate appears $bitSumPasses times — " +
         "the flag frame's two consumers stopped sharing the signature pass")
+  }
+
+  test("overlap report's registered plan roots at the checkpointed flag union (plan truncation holds)") {
+    // Round 15 (guide §3.3/§7.3): with the 7-screen union inlined, the
+    // registered plan held three DeduplicateRelations-cloned copies of the
+    // whole screen subtree and Catalyst planning alone cost 2.2–2.9 s per
+    // execution (PlanCost). The flag union is localCheckpoint'd
+    // (flag-set-sized state), so the registered plan must read it as
+    // ExistingRDD scans — a FileScan or Generate here means the
+    // truncation stopped working and the triple-copy plan is back.
+    val p = plan("dedup_overlap_report")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(p).size
+    assert(rddScans == 3,
+      s"expected the self-join's two sides + the loners aggregate to read " +
+        s"the checkpointed flag union (3 ExistingRDD scans), found $rddScans")
+    assert(!p.contains("FileScan") && !p.contains("Generate"),
+      "registered overlap-report plan re-inlined the screen subtree " +
+        "(FileScan/Generate present) — the flag-union checkpoint stopped " +
+        "truncating the plan")
   }
 
   test("cluster topics aggregates the token stream ONCE (nc/ct/nt derive from ctc)") {
